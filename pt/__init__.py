@@ -1,0 +1,32 @@
+"""pt — a TPU-native path-tracing framework (JAX / XLA / Pallas).
+
+A from-scratch rebuild of the capabilities of the Vulkan ray-tracing-pipeline
+path tracer `piotrprzybyszdev/Path-Tracing` (reference mounted at
+/root/reference), re-designed for TPU hardware:
+
+* The Vulkan RT pipeline (raygen/closest-hit/any-hit/miss SPIR-V shaders
+  dispatched per pixel) becomes a **wavefront integrator** over megabatches of
+  rays: flat SoA ray arrays, masked live lanes, `lax.scan` bounce loop
+  (reference: Shaders/raygen.rgen:36-118, Shaders/closestHit.rchit:52-161).
+* The TLAS/BLAS acceleration structures (Renderer/AccelerationStructure.cpp)
+  become a JAX-built LBVH over a world-space flattened triangle soup with a
+  vectorized stackless traversal (pure-XLA and Pallas backends).
+* The GLSL compute post stack (postprocess/bloom/toneMapping .comp shaders)
+  becomes fused jnp image ops.
+* The GLFW/ImGui swapchain is replaced by a headless accumulation film
+  streamed to PNG/JPEG/TGA/HDR files or an FFmpeg pipe.
+* Multi-chip scaling shards film tiles over a `jax.sharding.Mesh` and merges
+  with XLA collectives (pt.dist).
+
+Layer map (mirrors SURVEY.md of the reference):
+  pt.core   — config, stats/timers, cache, threads, cameras      (L1)
+  pt.scene  — scene data model, builder, graph, importers        (L4)
+  pt.accel  — LBVH build + traversal                             (L2/L0)
+  pt.render — RNG, rays, BSDF, lights, integrator, skinning      (L0)
+  pt.post   — bloom, tone mapping, composition                   (L0)
+  pt.out    — image/video output                                 (L2)
+  pt.run    — frame orchestrator, offline rendering, CLI, app    (L3/L5)
+  pt.dist   — device-mesh film sharding                          (L2)
+"""
+
+__version__ = "0.1.0"

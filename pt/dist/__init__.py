@@ -1,0 +1,5 @@
+"""Multi-chip scaling: film-tile sharding over a jax.sharding.Mesh.
+TPU-native replacement for the reference's multi-queue GPU parallelism
+(DeviceContext.cpp:262-374) at the cross-chip scale."""
+
+from pt.dist.mesh import film_mesh, render_image_sharded

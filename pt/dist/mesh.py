@@ -1,0 +1,104 @@
+"""Film-tile sharding over a device mesh.
+
+The reference is single-GPU; its scale-out axis is image size × samples ×
+bounces (SURVEY §5). The natural TPU sharding for a path tracer is **image-
+space data parallelism**: shard film rows across chips on a 1-D mesh, render
+each shard locally (scene/textures replicated — they are read-only), and
+gather the film only at save time. No per-bounce collectives are needed:
+paths are pixel-independent, so the only communication is the final
+all-gather over ICI (and DCN only for multi-host saves).
+
+An alternative mode shards *samples* instead (every chip renders the full
+film with a decorrelated RNG stream and films are psum-merged) — that is
+`render_spp_sharded`, useful when the film is small but spp is huge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pt.render.integrator import PathTracingSettings, render_flat
+from pt.render.textures import DeviceTextures
+from pt.scene.flatten import DeviceScene
+
+
+def film_mesh(devices: Optional[list] = None, axis: str = "film") -> Mesh:
+    """1-D device mesh over film tiles."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def render_image_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
+                         inv_proj, width: int, height: int, frame,
+                         settings: PathTracingSettings, mesh: Mesh):
+    """Render the frame with film rows sharded over `mesh`.
+
+    Returns ((H, W, 3) radiance sum, rays scalar). H must be divisible by
+    the mesh size (callers pad; film heights are multiples of 8 in
+    practice).
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if height % n_dev:
+        raise ValueError(f"height {height} not divisible by mesh size {n_dev}")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    def shard_render(ds_, tex_, iv, ip, px, py):
+        radiance, rays = render_flat(ds_, tex_, iv, ip,
+                                     px.reshape(-1), py.reshape(-1),
+                                     width, height, frame, settings)
+        rows = height // n_dev
+        return (radiance.reshape(rows, width, 3),
+                jax.lax.psum(rays, axis))
+
+    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.uint32),
+                          jnp.arange(width, dtype=jnp.uint32), indexing="ij")
+    return shard_render(ds, tex,
+                        jnp.asarray(inv_view, jnp.float32),
+                        jnp.asarray(inv_proj, jnp.float32), xs, ys)
+
+
+def render_spp_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
+                       inv_proj, width: int, height: int, frame,
+                       settings: PathTracingSettings, mesh: Mesh):
+    """Sample-parallel mode: each chip renders the whole film with a
+    decorrelated frame seed; films are psum-merged over ICI. Total spp per
+    call = settings.sample_count * mesh size."""
+    axis = mesh.axis_names[0]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def shard_render(ds_, tex_, iv, ip, frame_):
+        my = jax.lax.axis_index(axis).astype(jnp.uint32)
+        ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.uint32),
+                              jnp.arange(width, dtype=jnp.uint32),
+                              indexing="ij")
+        # decorrelate streams by offsetting the frame counter per chip
+        local_frame = frame_ + my * jnp.uint32(settings.sample_count)
+        radiance, rays = render_flat(ds_, tex_, iv, ip,
+                                     xs.reshape(-1), ys.reshape(-1),
+                                     width, height, local_frame, settings)
+        return (jax.lax.psum(radiance.reshape(height, width, 3), axis),
+                jax.lax.psum(rays, axis))
+
+    return shard_render(ds, tex,
+                        jnp.asarray(inv_view, jnp.float32),
+                        jnp.asarray(inv_proj, jnp.float32),
+                        jnp.asarray(frame, jnp.uint32))

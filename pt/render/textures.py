@@ -1,0 +1,193 @@
+"""Device texture pool: flat texel buffer + per-(texture, mip) offset table.
+
+TPU replacement for the reference's bindless sampler2D array
+(closestHit.rchit:10 `textures[]`, 1024 slots) and hardware
+textureGrad trilinear filtering (material.glsl). Design:
+
+* All textures live in ONE flat (P, 4) texel pool; a (NT, MAX_MIPS) offset
+  table + (NT, MAX_MIPS, 2) size table locate each mip. Texel fetch is a
+  single dynamic gather into the pool — the only memory-access pattern that
+  vectorizes well on TPU for per-ray divergent texture indices.
+* sRGB decode happens at upload (the reference samples VK sRGB formats;
+  here texels are stored linear, TextureUploader.cpp:571-595 analogue).
+* Filtering: bilinear per mip + linear mip blend (trilinear), LOD from the
+  ray-differential UV derivatives like textureGrad.
+* Wrap mode: repeat (the reference's default sampler, Renderer.cpp:104-111).
+
+Default texture slots 0..8 (ShaderTypes.incl:18-27) are 1x1 constants with
+the reference's exact texel values (ShaderRendererTypes.incl:49-56).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_MIPS = 14   # up to 8192x8192
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceTextures:
+    data: jax.Array        # (P, 4) f32 linear texels
+    offsets: jax.Array     # (NT, MAX_MIPS) i32 texel offset of each mip
+    sizes: jax.Array       # (NT, MAX_MIPS, 2) i32 (w, h) per mip
+    mip_counts: jax.Array  # (NT,) i32
+
+    @property
+    def count(self) -> int:
+        return self.offsets.shape[0]
+
+
+def srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """IEC 61966-2-1 decode (≙ hardware sRGB sampling)."""
+    c = np.asarray(c, np.float32)
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _downsample2x(img: np.ndarray) -> np.ndarray:
+    """Box-filter 2x downsample (≙ the blit-based mip generation,
+    Image.cpp:258-315 uses linear blits ≈ box filter)."""
+    h, w = img.shape[:2]
+    nh, nw = max(1, h // 2), max(1, w // 2)
+    img = img[:nh * 2, :nw * 2]
+    return img.reshape(nh, 2, nw, 2, img.shape[-1]).mean(axis=(1, 3))
+
+
+def build_mip_chain(pixels: np.ndarray) -> List[np.ndarray]:
+    """Full mip pyramid down to 1x1."""
+    mips = [pixels.astype(np.float32)]
+    while mips[-1].shape[0] > 1 or mips[-1].shape[1] > 1:
+        mips.append(_downsample2x(mips[-1]))
+    return mips[:MAX_MIPS]
+
+
+class TexturePoolBuilder:
+    """Accumulates decoded textures into the flat pool."""
+
+    def __init__(self):
+        self._texels: List[np.ndarray] = []
+        self._offsets: List[np.ndarray] = []
+        self._sizes: List[np.ndarray] = []
+        self._mip_counts: List[int] = []
+        self._cursor = 0
+
+    def add(self, pixels: np.ndarray, srgb: bool = False,
+            generate_mips: bool = True) -> int:
+        """pixels: (H, W, 4) float in [0,1] (or any float range for HDR).
+        Returns the texture-table index."""
+        pixels = np.asarray(pixels, np.float32)
+        if pixels.ndim == 2:
+            pixels = pixels[..., None]
+        if pixels.shape[-1] == 3:
+            pixels = np.concatenate([pixels, np.ones_like(pixels[..., :1])], -1)
+        if srgb:
+            pixels = np.concatenate([srgb_to_linear(pixels[..., :3]),
+                                     pixels[..., 3:]], -1)
+        mips = build_mip_chain(pixels) if generate_mips else [pixels]
+        offsets = np.zeros(MAX_MIPS, np.int32)
+        sizes = np.zeros((MAX_MIPS, 2), np.int32)
+        for i, m in enumerate(mips):
+            offsets[i] = self._cursor
+            sizes[i] = (m.shape[1], m.shape[0])
+            self._texels.append(m.reshape(-1, 4))
+            self._cursor += m.shape[0] * m.shape[1]
+        # clamp unused mip slots to the last mip (safe gather targets)
+        for i in range(len(mips), MAX_MIPS):
+            offsets[i] = offsets[len(mips) - 1]
+            sizes[i] = sizes[len(mips) - 1]
+        self._offsets.append(offsets)
+        self._sizes.append(sizes)
+        self._mip_counts.append(len(mips))
+        return len(self._mip_counts) - 1
+
+    def build(self) -> DeviceTextures:
+        return DeviceTextures(
+            data=jnp.asarray(np.concatenate(self._texels, axis=0)),
+            offsets=jnp.asarray(np.stack(self._offsets)),
+            sizes=jnp.asarray(np.stack(self._sizes)),
+            mip_counts=jnp.asarray(np.asarray(self._mip_counts, np.int32)),
+        )
+
+
+def add_default_textures(builder: TexturePoolBuilder) -> None:
+    """Slots 0..8 with the reference's exact 1x1 texels
+    (ShaderRendererTypes.incl:49-56; placeholder slot 8 reuses white)."""
+    def const(rgba):
+        builder.add(np.asarray(rgba, np.float32).reshape(1, 1, 4),
+                    srgb=False, generate_mips=False)
+    half = 128.0 / 255.0
+    const([1, 1, 1, 1])                 # 0 color (white)
+    const([half, half, 1, 1])           # 1 normal (0x80,0x80,0xff)
+    const([1, 1, 1, 1])                 # 2 roughness
+    const([1, 1, 1, 1])                 # 3 metalness
+    const([0, 0, 0, 0])                 # 4 emissive (black)
+    const([1, 1, 1, 1])                 # 5 specular
+    const([0, 0, 0, 0])                 # 6 glossiness
+    const([0, 0, 0, 0])                 # 7 shininess
+    const([1, 1, 1, 1])                 # 8 placeholder
+
+
+def default_texture_pool() -> DeviceTextures:
+    b = TexturePoolBuilder()
+    add_default_textures(b)
+    return b.build()
+
+
+def _bilinear_at_level(tex: DeviceTextures, tex_idx, uv, level):
+    """Bilinear fetch of one mip level. tex_idx (N,), uv (N,2), level (N,)."""
+    off = tex.offsets[tex_idx, level]                       # (N,)
+    size = tex.sizes[tex_idx, level]                        # (N, 2)
+    w = size[..., 0].astype(jnp.float32)
+    h = size[..., 1].astype(jnp.float32)
+    # repeat wrap, half-texel center convention
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    wi = size[..., 0]
+    hi = size[..., 1]
+
+    def fetch(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), wi)
+        yi = jnp.mod(yi.astype(jnp.int32), hi)
+        return tex.data[off + yi * wi + xi]
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_texture_grad(tex: DeviceTextures, tex_idx, uv, dudx_dvdx=None,
+                        dudy_dvdy=None):
+    """Trilinear sample with LOD from UV derivatives (≙ textureGrad).
+
+    tex_idx (N,) i32, uv (N,2). Derivatives (N,2) each or None for level 0.
+    Returns (N,4) linear texels.
+    """
+    mip_count = tex.mip_counts[tex_idx]
+    if dudx_dvdx is None:
+        level = jnp.zeros(uv.shape[:-1], jnp.float32)
+    else:
+        size0 = tex.sizes[tex_idx, 0].astype(jnp.float32)   # (N, 2)
+        px = dudx_dvdx * size0
+        py = dudy_dvdy * size0
+        rho = jnp.sqrt(jnp.maximum(jnp.sum(px * px, -1), jnp.sum(py * py, -1)))
+        level = jnp.log2(jnp.maximum(rho, 1e-12))
+    level = jnp.clip(level, 0.0, (mip_count - 1).astype(jnp.float32))
+    lo = jnp.floor(level).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, mip_count - 1)
+    frac = (level - lo.astype(jnp.float32))[..., None]
+    a = _bilinear_at_level(tex, tex_idx, uv, lo)
+    b = _bilinear_at_level(tex, tex_idx, uv, hi)
+    return a * (1 - frac) + b * frac

@@ -1,0 +1,289 @@
+"""Host Scene → device SoA arrays (DeviceScene).
+
+This replaces the reference's GPU scene-upload path
+(Renderer::UpdateSceneData, Renderer.cpp:238-439: vertex/index/transform/
+material/geometry buffers + SBT records) with a TPU-first layout:
+
+* Instancing is flattened: every (instance, mesh) pair becomes a *segment*
+  with its own transform slot. Object-space vertices are duplicated per
+  segment once at build time; per-frame world-space positions/normals are
+  recomputed on device as one batched matmul (`world_vertices`), which
+  replaces both the TLAS instance transforms and the closest-hit
+  per-vertex transform math (Shaders/sampling.glsl:5-15). Recompute is
+  nearly free on the MXU; divergent two-level BVH traversal is not.
+
+* The three material models are packed into one unified SoA table
+  (type-dispatch becomes vector selects instead of the reference's SBT
+  switch, Shaders/material.glsl:147-176).
+
+* Per-triangle arrays (material row, opaqueness) replace SBT records
+  (ShaderBindingTable.cpp:43-52 inline record data).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pt.scene.builder import Scene
+from pt.scene.types import (MAX_LIGHT_COUNT, MaterialType, MetallicRoughnessMaterial,
+                            SkyboxKind, unpack_material_id)
+
+# Unified material float-field layout (columns of DeviceScene.mat_params).
+F_EMISSIVE = 0          # ..3  emissive rgb
+F_EMISSIVE_INT = 3
+F_COLOR = 4             # ..8  base color rgba
+F_IOR = 8
+F_TRANSMISSION = 9
+F_ATTEN_COLOR = 10      # ..13 attenuation rgb
+F_ATTEN_DIST = 13
+F_ROUGHNESS = 14        # MR roughness factor
+F_METALNESS = 15        # MR metalness factor
+F_SPECULAR = 16         # ..19 SG/Phong specular rgb
+F_GLOSS = 19            # SG glossiness / Phong shininess factor
+NUM_MAT_FIELDS = 20
+
+# Texture-slot columns of DeviceScene.mat_tex.
+T_EMISSIVE, T_COLOR, T_NORMAL, T_A, T_B = 0, 1, 2, 3, 4
+NUM_MAT_TEX = 5
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceScene:
+    """Device-resident flattened scene (a JAX pytree)."""
+
+    # object-space duplicated-per-segment vertex SoA
+    obj_positions: jax.Array        # (V, 3) f32
+    obj_normals: jax.Array          # (V, 3) f32
+    obj_tangents: jax.Array         # (V, 3) f32
+    obj_bitangents: jax.Array       # (V, 3) f32
+    tex_coords: jax.Array           # (V, 2) f32
+    vert_seg: jax.Array             # (V,) i32 segment id per vertex
+
+    tri_idx: jax.Array              # (T, 3) i32 absolute vertex indices
+    tri_mat: jax.Array              # (T,) i32 unified material row
+    tri_opaque: jax.Array           # (T,) bool
+
+    seg_transform: jax.Array        # (S, 4, 4) f32 world transform per segment
+
+    # unified material table
+    mat_params: jax.Array           # (M, NUM_MAT_FIELDS) f32
+    mat_tex: jax.Array              # (M, NUM_MAT_TEX) i32 texture-table indices
+    mat_type: jax.Array             # (M,) i32 MaterialType
+
+    # lights
+    point_light_color: jax.Array    # (MAX_LIGHT_COUNT, 3) f32
+    point_light_pos: jax.Array      # (MAX_LIGHT_COUNT, 3) f32
+    point_light_atten: jax.Array    # (MAX_LIGHT_COUNT, 3) f32 const/lin/quad
+    point_light_count: jax.Array    # () i32
+    dir_light_color: jax.Array      # (3,) f32
+    dir_light_dir: jax.Array        # (3,) f32
+
+    skybox_color: jax.Array         # (3,) f32 (CLEAR kind)
+
+    # static (hashable) metadata — jit specializes on these like the
+    # reference's pipeline specialization constants (Renderer.cpp:676-709)
+    skybox_kind: int = dataclasses.field(metadata=dict(static=True),
+                                         default=int(SkyboxKind.CLEAR))
+    flip_normal_y: bool = dataclasses.field(metadata=dict(static=True),
+                                            default=False)
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_idx.shape[0]
+
+    @property
+    def num_segments(self) -> int:
+        return self.seg_transform.shape[0]
+
+
+def world_vertices(ds: DeviceScene):
+    """Per-frame world-space flatten: positions via point transform, normal
+    frame via inverse-transpose (≙ closest-hit `transform`,
+    Shaders/sampling.glsl:5-15, which multiplies by mesh-transform ×
+    instance-transform and inverse-transpose for normals).
+
+    Returns (positions, normals, tangents, bitangents), each (V, 3) f32.
+    One gather + batched (V,1,4)x(V,4,4) contractions — MXU/VPU friendly.
+    """
+    t = ds.seg_transform[ds.vert_seg]                     # (V, 4, 4)
+    p = ds.obj_positions
+    pos = (jnp.einsum("vij,vj->vi", t[:, :3, :3], p, preferred_element_type=jnp.float32)
+           + t[:, :3, 3])
+    # normal matrix: inverse-transpose of the 3x3 block, computed per segment
+    # on host-sized data (S is small) then gathered per vertex
+    seg_nrm = _normal_matrices(ds.seg_transform)          # (S, 3, 3)
+    nt = seg_nrm[ds.vert_seg]
+    def xfr(v):
+        return jnp.einsum("vij,vj->vi", t[:, :3, :3], v,
+                          preferred_element_type=jnp.float32)
+    nrm = jnp.einsum("vij,vj->vi", nt, ds.obj_normals,
+                     preferred_element_type=jnp.float32)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    tan = xfr(ds.obj_tangents)
+    tan = tan / jnp.maximum(jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
+    bit = xfr(ds.obj_bitangents)
+    bit = bit / jnp.maximum(jnp.linalg.norm(bit, axis=-1, keepdims=True), 1e-20)
+    return pos, nrm, tan, bit
+
+
+def _normal_matrices(transforms: jax.Array) -> jax.Array:
+    """Inverse-transpose of the upper-left 3x3 of each 4x4."""
+    a = transforms[:, :3, :3]
+    return jnp.transpose(jnp.linalg.inv(a), (0, 2, 1))
+
+
+def flatten_scene(scene: Scene) -> DeviceScene:
+    """Flatten a host Scene into device arrays.
+
+    Replaces Renderer::UpdateSceneData's buffer building + SBT record
+    emission (Renderer.cpp:250-399).
+    """
+    positions, normals, tangents, bitangents, uvs = [], [], [], [], []
+    vert_seg, tri_idx, tri_mat, tri_opaque = [], [], [], []
+    seg_transforms: List[np.ndarray] = []
+
+    mat_rows, mid_to_row = _build_material_table(scene)
+
+    vbase = 0
+    v = scene.vertices
+    for inst_i, inst in enumerate(scene.instances):
+        model = scene.models[inst.model_index]
+        inst_t = scene.instance_transforms[inst_i].astype(np.float64)
+        for mesh in model.meshes:
+            geo = scene.geometries[mesh.geometry_index]
+            seg = len(seg_transforms)
+            seg_transforms.append((inst_t @ np.asarray(mesh.transform, np.float64))
+                                  .astype(np.float32))
+            s, n = geo.vertex_offset, geo.vertex_count
+            positions.append(v.positions[s:s + n])
+            normals.append(v.normals[s:s + n])
+            tangents.append(v.tangents[s:s + n])
+            bitangents.append(v.bitangents[s:s + n])
+            uvs.append(v.tex_coords[s:s + n])
+            vert_seg.append(np.full(n, seg, np.int32))
+            idx = scene.indices[geo.index_offset:geo.index_offset + geo.index_count]
+            tris = idx.astype(np.int64).reshape(-1, 3) + vbase
+            tri_idx.append(tris.astype(np.int32))
+            row = mid_to_row[mesh.material_id]
+            tri_mat.append(np.full(len(tris), row, np.int32))
+            tri_opaque.append(np.full(len(tris), geo.is_opaque, bool))
+            vbase += n
+
+    if vbase == 0:
+        raise ValueError("scene has no instanced geometry")
+
+    cat = lambda xs: np.concatenate(xs, axis=0)
+    lights = _build_lights(scene)
+
+    return DeviceScene(
+        obj_positions=jnp.asarray(cat(positions)),
+        obj_normals=jnp.asarray(cat(normals)),
+        obj_tangents=jnp.asarray(cat(tangents)),
+        obj_bitangents=jnp.asarray(cat(bitangents)),
+        tex_coords=jnp.asarray(cat(uvs)),
+        vert_seg=jnp.asarray(cat(vert_seg)),
+        tri_idx=jnp.asarray(cat(tri_idx)),
+        tri_mat=jnp.asarray(cat(tri_mat)),
+        tri_opaque=jnp.asarray(cat(tri_opaque)),
+        seg_transform=jnp.asarray(np.stack(seg_transforms)),
+        mat_params=jnp.asarray(mat_rows["params"]),
+        mat_tex=jnp.asarray(mat_rows["tex"]),
+        mat_type=jnp.asarray(mat_rows["type"]),
+        **lights,
+        skybox_color=jnp.asarray(np.asarray(scene.skybox.color, np.float32)),
+        skybox_kind=int(scene.skybox.kind),
+        flip_normal_y=bool(scene.texture_mapping.get("dx_normals", False)),
+    )
+
+
+def update_seg_transforms(ds: DeviceScene, scene: Scene) -> DeviceScene:
+    """Per-frame refresh of the segment transform palette from the host
+    scene graph (small upload; ≙ transform-buffer update for animated
+    instances). Only valid while the instance/mesh structure is unchanged."""
+    seg_transforms = []
+    for inst_i, inst in enumerate(scene.instances):
+        inst_t = scene.instance_transforms[inst_i].astype(np.float64)
+        for mesh in scene.models[inst.model_index].meshes:
+            seg_transforms.append((inst_t @ np.asarray(mesh.transform, np.float64))
+                                  .astype(np.float32))
+    lights = _build_lights(scene)
+    return dataclasses.replace(
+        ds, seg_transform=jnp.asarray(np.stack(seg_transforms)), **lights)
+
+
+def _build_material_table(scene: Scene):
+    """Pack all three material pools into the unified table; returns the
+    table plus the packed-MaterialId → row lookup."""
+    params, tex, types = [], [], []
+    mid_to_row = {}
+
+    def add(m, mtype: MaterialType, index: int):
+        row = np.zeros(NUM_MAT_FIELDS, np.float32)
+        trow = np.zeros(NUM_MAT_TEX, np.int32)
+        row[F_EMISSIVE:F_EMISSIVE + 3] = m.emissive_color
+        row[F_EMISSIVE_INT] = m.emissive_intensity
+        row[F_COLOR:F_COLOR + 4] = m.color
+        row[F_IOR] = m.ior
+        row[F_TRANSMISSION] = m.transmission
+        row[F_ATTEN_COLOR:F_ATTEN_COLOR + 3] = m.attenuation_color
+        row[F_ATTEN_DIST] = m.attenuation_distance
+        trow[T_EMISSIVE] = m.emissive_idx
+        trow[T_COLOR] = m.color_idx
+        trow[T_NORMAL] = m.normal_idx
+        if mtype == MaterialType.METALLIC_ROUGHNESS:
+            row[F_ROUGHNESS] = m.roughness
+            row[F_METALNESS] = m.metalness
+            trow[T_A] = m.roughness_idx
+            trow[T_B] = m.metallic_idx
+        else:
+            row[F_SPECULAR:F_SPECULAR + 3] = m.specular
+            row[F_GLOSS] = (m.glossiness if mtype == MaterialType.SPECULAR_GLOSSINESS
+                            else m.shininess)
+            trow[T_A] = m.specular_idx
+            trow[T_B] = (m.glossiness_idx if mtype == MaterialType.SPECULAR_GLOSSINESS
+                         else m.shininess_idx)
+        mid = (index << 8) | int(mtype)
+        mid_to_row[mid] = len(params)
+        params.append(row)
+        tex.append(trow)
+        types.append(int(mtype))
+
+    for i, m in enumerate(scene.materials_mr):
+        add(m, MaterialType.METALLIC_ROUGHNESS, i)
+    for i, m in enumerate(scene.materials_sg):
+        add(m, MaterialType.SPECULAR_GLOSSINESS, i)
+    for i, m in enumerate(scene.materials_ph):
+        add(m, MaterialType.PHONG, i)
+    if not params:  # default white diffuse
+        add(MetallicRoughnessMaterial(), MaterialType.METALLIC_ROUGHNESS, 0)
+
+    return ({"params": np.stack(params), "tex": np.stack(tex),
+             "type": np.asarray(types, np.int32)}, mid_to_row)
+
+
+def _build_lights(scene: Scene):
+    colors = np.zeros((MAX_LIGHT_COUNT, 3), np.float32)
+    pos = np.zeros((MAX_LIGHT_COUNT, 3), np.float32)
+    atten = np.ones((MAX_LIGHT_COUNT, 3), np.float32)
+    n = min(len(scene.point_lights), MAX_LIGHT_COUNT)
+    for i in range(n):
+        l = scene.point_lights[i]
+        colors[i] = l.color
+        pos[i] = l.position
+        atten[i] = (l.attenuation_constant, l.attenuation_linear,
+                    l.attenuation_quadratic)
+    d = scene.directional_light
+    return dict(
+        point_light_color=jnp.asarray(colors),
+        point_light_pos=jnp.asarray(pos),
+        point_light_atten=jnp.asarray(atten),
+        point_light_count=jnp.asarray(n, jnp.int32),
+        dir_light_color=jnp.asarray(np.asarray(d.color if d else (0, 0, 0), np.float32)),
+        dir_light_dir=jnp.asarray(np.asarray(d.direction if d else (0, -1, 0), np.float32)),
+    )

@@ -1,0 +1,124 @@
+"""End-to-end render tests: Default scene smoke, determinism, sharding
+equivalence, and post-processing."""
+
+import numpy as np
+import jax
+import pytest
+
+from pt.post.pipeline import PostProcessSettings, postprocess, tonemap_sdr
+from pt.render.integrator import PathTracingSettings, render_image_stats
+from pt.render.textures import default_texture_pool
+from pt.scene.examples import make_default_scene
+from pt.scene.flatten import flatten_scene
+
+
+@pytest.fixture(scope="module")
+def default_setup():
+    scene = make_default_scene()
+    ds = flatten_scene(scene)
+    tex = default_texture_pool()
+    cam = scene.cameras[0]
+    cam.on_resize(32, 32)
+    return scene, ds, tex, cam
+
+
+def _render(ds, tex, cam, frame=0, spp=2, bounces=4, w=32, h=32):
+    return render_image_stats(ds, tex, cam.inv_view, cam.inv_proj, w, h, frame,
+                              PathTracingSettings(sample_count=spp,
+                                                  bounce_count=bounces))
+
+
+def test_default_scene_renders(default_setup):
+    _, ds, tex, cam = default_setup
+    img, rays = _render(ds, tex, cam)
+    img = np.asarray(img)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0                      # light reaches the film
+    assert int(rays) > 32 * 32 * 2              # beyond primary rays
+
+
+def test_render_deterministic(default_setup):
+    _, ds, tex, cam = default_setup
+    a, _ = _render(ds, tex, cam, frame=0)
+    b, _ = _render(ds, tex, cam, frame=0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_frames_decorrelated(default_setup):
+    _, ds, tex, cam = default_setup
+    a, _ = _render(ds, tex, cam, frame=0)
+    b, _ = _render(ds, tex, cam, frame=2)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_progressive_accumulation_converges(default_setup):
+    """More accumulated samples → lower variance between halves."""
+    _, ds, tex, cam = default_setup
+    frames = [np.asarray(_render(ds, tex, cam, frame=f, spp=2)[0])
+              for f in range(0, 8, 2)]
+    a = (frames[0] + frames[1]) / 4
+    b = (frames[2] + frames[3]) / 4
+    single_diff = np.abs(frames[0] / 2 - frames[2] / 2).mean()
+    pair_diff = np.abs(a - b).mean()
+    assert pair_diff < single_diff * 1.05
+
+
+def test_film_sharding_matches_single_device(default_setup):
+    from pt.dist.mesh import film_mesh, render_image_sharded
+    _, ds, tex, cam = default_setup
+    st = PathTracingSettings(sample_count=1, bounce_count=3)
+    ref, rays_ref = render_image_stats(ds, tex, cam.inv_view, cam.inv_proj,
+                                       32, 32, 0, st)
+    mesh = film_mesh()
+    assert mesh.devices.size == 8, "conftest must provide 8 virtual devices"
+    img, rays = jax.jit(
+        lambda *a: render_image_sharded(*a, 32, 32, 0, st, mesh)
+    )(ds, tex, cam.inv_view, cam.inv_proj)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
+    assert int(rays) == int(rays_ref)
+
+
+def test_spp_sharding_scales(default_setup):
+    from pt.dist.mesh import film_mesh, render_spp_sharded
+    _, ds, tex, cam = default_setup
+    st = PathTracingSettings(sample_count=1, bounce_count=3)
+    mesh = film_mesh()
+    img, rays = render_spp_sharded(ds, tex, cam.inv_view, cam.inv_proj,
+                                   32, 32, 0, st, mesh)
+    ref, rays_ref = render_image_stats(ds, tex, cam.inv_view, cam.inv_proj,
+                                       32, 32, 0, st)
+    ratio = float(np.asarray(img).mean() / np.asarray(ref).mean())
+    assert 6.0 < ratio < 10.0        # 8 merged films within MC noise
+    assert int(rays) > 6 * int(rays_ref)
+
+
+def test_postprocess_sentinels():
+    accum = np.zeros((4, 4, 3), np.float32)
+    accum[0, 0] = np.nan
+    accum[1, 1] = np.inf
+    accum[2, 2] = 1.0
+    out = np.asarray(postprocess(accum, 1.0,
+                                 PostProcessSettings(enable_bloom=False)))
+    # NaN→red, Inf→green sentinels survive the tonemap as saturated pixels
+    assert out[0, 0, 0] > 0.99 and out[0, 0, 1] < 0.01
+    assert out[1, 1, 1] > 0.99 and out[1, 1, 0] < 0.01
+    assert np.isfinite(out).all()
+
+
+def test_tonemap_sdr():
+    x = np.asarray([0.0, 1.0, 100.0], np.float32)
+    y = np.asarray(tonemap_sdr(x))
+    np.testing.assert_allclose(y, 1.0 - np.exp(-x), rtol=1e-6)
+    assert (y <= 1.0).all() and (y >= 0.0).all()
+
+
+def test_bloom_adds_glow():
+    accum = np.zeros((64, 64, 3), np.float32)
+    accum[32, 32] = 500.0                       # bright spot
+    with_bloom = np.asarray(postprocess(accum, 1.0, PostProcessSettings()))
+    without = np.asarray(postprocess(accum, 1.0,
+                                     PostProcessSettings(enable_bloom=False)))
+    # neighborhood pixels pick up energy only with bloom
+    assert with_bloom[32, 36].sum() > without[32, 36].sum()
+    assert with_bloom[20, 20].sum() >= without[20, 20].sum()
