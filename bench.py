@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: path-tracing throughput in Mrays/sec on one chip.
 
-Renders the built-in Default scene (Cornell box + glass/mirror cubes — the
-reference's boot scene, ExampleScenes.cpp:320) progressively and reports
-useful rays traced per second (live closest-hit rays + NEE shadow rays, the
-standard path-tracer metric). Baseline is the BASELINE.json north-star
-target of 200 Mrays/s per chip.
+Renders the procedural 100k-triangle heightfield scene (stand-in for the
+Sponza-class imported scenes until asset import lands) through the
+production host-orchestrated wavefront renderer (pt.run.renderer: Pallas
+packet traversal + per-stage jits) and reports useful rays traced per
+second (live closest-hit + NEE shadow rays). Baseline is the BASELINE.json
+north-star target of 200 Mrays/s per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -13,41 +14,29 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import time
 
-import numpy as np
-
 BASELINE_MRAYS = 200.0
 
 
 def main() -> None:
-    from pt.render.integrator import PathTracingSettings, render_image_stats
-    from pt.render.textures import default_texture_pool
-    from pt.scene.examples import make_default_scene
-    from pt.scene.flatten import flatten_scene
+    import pt  # noqa: F401  (configures the persistent compile cache)
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.examples import make_heightfield_scene
 
     width = height = 512
-    settings = PathTracingSettings(sample_count=8, bounce_count=5)
+    renderer = Renderer(PathTracingSettings(sample_count=4, bounce_count=5,
+                                            backend="pallas"))
+    renderer.set_scene(make_heightfield_scene(224))
+    renderer.on_resize(width, height)
 
-    scene = make_default_scene()
-    ds = flatten_scene(scene)
-    tex = default_texture_pool()
-    cam = scene.cameras[0]
-    cam.on_resize(width, height)
-
-    # compile + warmup
-    img, rays = render_image_stats(ds, tex, cam.inv_view, cam.inv_proj,
-                                   width, height, 0, settings)
-    img.block_until_ready()
+    renderer.render(1)          # compile / cache warmup
+    start_rays = renderer.rays_traced
 
     steps = 4
-    total_rays = 0
     t0 = time.perf_counter()
-    for i in range(steps):
-        img, rays = render_image_stats(ds, tex, cam.inv_view, cam.inv_proj,
-                                       width, height,
-                                       (i + 1) * settings.sample_count,
-                                       settings)
-        total_rays += int(rays)
-    img.block_until_ready()
+    for _ in range(steps):
+        renderer.render()
+    total_rays = renderer.rays_traced - start_rays
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6

@@ -30,3 +30,21 @@ Layer map (mirrors SURVEY.md of the reference):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: kernel compiles on this platform are slow
+# (tens of seconds) and the remote compile service is intermittently flaky —
+# caching successful compiles makes every later run fast and deterministic
+# (≙ the reference's on-disk SPIR-V + vk::PipelineCache, ShaderLibrary.cpp:
+# 106-120, Pipeline.cpp:349-377).
+_cache_dir = _os.environ.get("PT_COMPILE_CACHE",
+                             _os.path.join(_os.path.dirname(__file__), "..",
+                                           ".jax_cache"))
+try:
+    _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:  # cache is an optimization, never fatal
+    pass

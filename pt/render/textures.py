@@ -37,6 +37,11 @@ class DeviceTextures:
     offsets: jax.Array     # (NT, MAX_MIPS) i32 texel offset of each mip
     sizes: jax.Array       # (NT, MAX_MIPS, 2) i32 (w, h) per mip
     mip_counts: jax.Array  # (NT,) i32
+    # static: every texture is a 1x1 constant (the default-texture-only
+    # case) — sampling collapses to one gather per lookup, a large win since
+    # TPU gathers are the shading bottleneck
+    all_constant: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
 
     @property
     def count(self) -> int:
@@ -106,11 +111,13 @@ class TexturePoolBuilder:
         return len(self._mip_counts) - 1
 
     def build(self) -> DeviceTextures:
+        sizes = np.stack(self._sizes)
         return DeviceTextures(
             data=jnp.asarray(np.concatenate(self._texels, axis=0)),
             offsets=jnp.asarray(np.stack(self._offsets)),
-            sizes=jnp.asarray(np.stack(self._sizes)),
+            sizes=jnp.asarray(sizes),
             mip_counts=jnp.asarray(np.asarray(self._mip_counts, np.int32)),
+            all_constant=bool((sizes[:, 0] == 1).all()),
         )
 
 
@@ -175,6 +182,9 @@ def sample_texture_grad(tex: DeviceTextures, tex_idx, uv, dudx_dvdx=None,
     tex_idx (N,) i32, uv (N,2). Derivatives (N,2) each or None for level 0.
     Returns (N,4) linear texels.
     """
+    if tex.all_constant:
+        # 1x1 constants: one gather, no filtering
+        return tex.data[tex.offsets[tex_idx, 0]]
     mip_count = tex.mip_counts[tex_idx]
     if dudx_dvdx is None:
         level = jnp.zeros(uv.shape[:-1], jnp.float32)
@@ -184,6 +194,10 @@ def sample_texture_grad(tex: DeviceTextures, tex_idx, uv, dudx_dvdx=None,
         py = dudy_dvdy * size0
         rho = jnp.sqrt(jnp.maximum(jnp.sum(px * px, -1), jnp.sum(py * py, -1)))
         level = jnp.log2(jnp.maximum(rho, 1e-12))
+    if dudx_dvdx is None:
+        # explicit level-0 sampling: single bilinear fetch
+        return _bilinear_at_level(tex, tex_idx, uv,
+                                  jnp.zeros(uv.shape[:-1], jnp.int32))
     level = jnp.clip(level, 0.0, (mip_count - 1).astype(jnp.float32))
     lo = jnp.floor(level).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, mip_count - 1)

@@ -1,0 +1,144 @@
+"""Application shell: lifecycle + frame loop (headless).
+
+Counterpart of the reference's Application (Application.{h,cpp}): ordered
+init of config → scene manager → renderer (Application.cpp:193-249), the
+main loop (scene update → UpdateSceneData → OnUpdate → Render,
+Application.cpp:251-365), background-task progress counters
+(Application.h:15-36), and the offline-rendering entry point
+(BeginOfflineRendering, Application.cpp:412-439). The GLFW/ImGui window is
+replaced by headless progressive rendering with periodic snapshot
+callbacks (the CLI and tests drive it; a live viewer can subscribe).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from pt.core.config import Config, set_config
+from pt.core.stats import Stats, Timer
+from pt.render.integrator import PathTracingSettings
+from pt.post.pipeline import PostProcessSettings
+from pt.run.offline import OfflineRenderer, RenderSettings
+from pt.run.renderer import Renderer
+from pt.scene.manager import SceneManager
+
+
+class BackgroundTasks:
+    """Atomic {total, done} progress counters per task type
+    (≙ BackgroundTask, Application.h:15-36)."""
+
+    TYPES = ("ShaderCompilation", "TextureUpload", "SceneImport", "Rendering")
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._tasks: Dict[str, list] = {t: [0, 0] for t in self.TYPES}
+
+    def begin(self, task: str, total: int) -> None:
+        with self._lock:
+            self._tasks[task] = [total, 0]
+
+    def advance(self, task: str, done: int = 1) -> None:
+        with self._lock:
+            self._tasks[task][1] += done
+
+    def progress(self, task: str):
+        with self._lock:
+            total, done = self._tasks[task]
+        return done, total
+
+
+class Application:
+    """≙ Application::Init/Run/Shutdown."""
+
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or Config()
+        set_config(self.config)
+        self.tasks = BackgroundTasks()
+        self.scene_manager = SceneManager()
+        self.renderer = Renderer(
+            min_refresh_rate=self.config.min_refresh_rate,
+            max_samples_per_frame=self.config.max_samples_per_frame)
+        self._running = False
+
+    # -- lifecycle -------------------------------------------------------
+    def init(self, group: str = "Test Scenes", scene: str = "Default",
+             width: int = 1280, height: int = 720) -> None:
+        """≙ Application::Init boot sequence (ends with the Default scene
+        active, SceneManager.cpp:100-105)."""
+        self.scene_manager.set_active_scene(group, scene, blocking=True)
+        sc = self.scene_manager.get_active_scene()
+        if sc is None:
+            raise RuntimeError(f"failed to load scene {group}/{scene}")
+        self.renderer.set_scene(sc)
+        self.renderer.on_resize(width, height)
+
+    def set_scene(self, group: str, name: str, blocking: bool = True) -> None:
+        self.tasks.begin("SceneImport", 1)
+        self.scene_manager.set_active_scene(group, name, blocking=blocking)
+        sc = self.scene_manager.get_active_scene()
+        if sc is not None:
+            self.renderer.set_scene(sc)
+        self.tasks.advance("SceneImport")
+
+    # -- interactive-ish loop --------------------------------------------
+    def run(self, duration_seconds: float = 1.0,
+            on_frame: Optional[Callable[[np.ndarray, int], None]] = None,
+            target_frames: Optional[int] = None) -> int:
+        """Progressive loop (≙ Application::Run): scene update → renderer
+        update → one accumulation step; `on_frame(snapshot, total_samples)`
+        is the swapchain-present stand-in. Returns frames looped."""
+        self._running = True
+        frames = 0
+        start = time.perf_counter()
+        last = start
+        while self._running:
+            now = time.perf_counter()
+            dt = now - last
+            last = now
+            with Timer("Frame total"):
+                with Timer("Update"):
+                    changed = (self.renderer.scene.update(dt)
+                               if self.renderer.scene else False)
+                    self.renderer.update_scene_data(scene_changed=changed)
+                self.renderer.on_update(dt)
+                with Timer("Render"):
+                    self.renderer.render()
+                if on_frame is not None:
+                    on_frame(self.renderer.snapshot(), self.renderer.total_samples)
+            Stats.flush_timers()
+            frames += 1
+            if target_frames is not None:
+                if frames >= target_frames:
+                    break
+            elif time.perf_counter() - start >= duration_seconds:
+                break
+        self._running = False
+        return frames
+
+    def stop(self) -> None:
+        self._running = False
+
+    # -- offline ----------------------------------------------------------
+    def render_offline(self, settings: RenderSettings,
+                       path_settings: Optional[PathTracingSettings] = None,
+                       post: Optional[PostProcessSettings] = None,
+                       progress=None) -> int:
+        """≙ the UI Render button flow (SURVEY §3.4)."""
+        if path_settings is not None or post is not None:
+            self.renderer.set_settings(path_settings, post)
+        self.tasks.begin("Rendering", settings.frame_count)
+        offline = OfflineRenderer(self.renderer)
+
+        def wrapped_progress(frame, total, samples):
+            self.tasks._tasks["Rendering"][1] = frame
+            if progress:
+                progress(frame, total, samples)
+
+        return offline.render(settings, wrapped_progress)
+
+    def shutdown(self) -> None:
+        self.scene_manager.wait()

@@ -1,0 +1,98 @@
+"""Offline rendering: sample/time-budgeted frames to images or video.
+
+Counterpart of the reference's offline-render flow (SURVEY §3.4): the UI's
+Render button sets RenderSettings{OutputInfo, FrameCount, MaxSampleCount,
+MaxTime} (Renderer.cpp:836-852) and each main-loop iteration accumulates
+until TotalSamples ≥ MaxSampleCount or the time budget is hit
+(Renderer.cpp:1696-1704), saves the frame, advances the animation by the
+fixed 1/framerate step (deterministic video stepping,
+Application.cpp:333-335), and finishes after FrameCount frames
+(Renderer.cpp:1785-1807). Input is disabled during rendering
+(BeginOfflineRendering, Application.cpp:412-439).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+from pt.core.camera import InputCamera
+from pt.core.stats import Stats
+from pt.out.saver import OutputInfo, OutputSaver
+from pt.run.renderer import Renderer
+
+
+@dataclasses.dataclass
+class RenderSettings:
+    """≙ RenderSettings (Renderer.h): output + budgets."""
+    output: OutputInfo
+    frame_count: int = 1                 # >1 → animation frames / video
+    max_sample_count: int = 256          # ≤10000 in the reference UI
+    max_time_seconds: Optional[float] = None
+    samples_per_step: int = 8            # accumulation granularity
+    hdr: bool = False                    # tonemap mode for the saved frame
+
+
+class OfflineRenderer:
+    """Drives a Renderer through the offline state machine."""
+
+    def __init__(self, renderer: Renderer, saver: Optional[OutputSaver] = None):
+        self.renderer = renderer
+        self.saver = saver or OutputSaver()
+        self._cancelled = False
+
+    def cancel(self) -> None:
+        """≙ CancelRendering (Renderer.cpp:810-823)."""
+        self._cancelled = True
+
+    def render(self, settings: RenderSettings,
+               progress: Optional[Callable[[int, int, int], None]] = None) -> int:
+        """Run to completion (or cancellation). Returns frames written.
+        progress(frame, total_frames, samples) is called per step."""
+        r = self.renderer
+        out = settings.output
+        self._cancelled = False
+
+        InputCamera.disable_input()
+        r.on_resize(out.width, out.height)
+        self.saver.register_output(out)
+        frames_written = 0
+        try:
+            for frame in range(settings.frame_count):
+                r.reset_accumulation()
+                start = time.perf_counter()
+                while not self._cancelled:
+                    r.render(settings.samples_per_step)
+                    if progress:
+                        progress(frame, settings.frame_count, r.total_samples)
+                    if r.total_samples >= settings.max_sample_count:
+                        break
+                    if (settings.max_time_seconds is not None
+                            and time.perf_counter() - start
+                            >= settings.max_time_seconds):
+                        break
+                if self._cancelled:
+                    break
+                # save through the post stack; HDR output keeps linear
+                # radiance for .hdr files
+                if out.format == "hdr":
+                    import numpy as np
+                    image = np.asarray(r.accum) / max(r.total_samples, 1)
+                else:
+                    image = r.snapshot(hdr=settings.hdr)
+                self.saver.submit_frame(image)
+                frames_written += 1
+                Stats.add_stat("Rendering", f"{frames_written}/{settings.frame_count}")
+
+                # deterministic fixed-dt animation stepping between frames
+                if settings.frame_count > 1 and r.scene is not None:
+                    changed = r.scene.update(1.0 / out.framerate)
+                    r.update_scene_data(scene_changed=changed)
+        finally:
+            if self._cancelled:
+                self.saver.cancel_output()
+            else:
+                self.saver.end_output()
+            InputCamera.enable_input()
+        return frames_written

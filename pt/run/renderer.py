@@ -1,0 +1,215 @@
+"""Frame orchestrator: the production (host-driven wavefront) render path.
+
+Counterpart of the reference's `Renderer` (L3, Renderer/Renderer.{h,cpp}):
+owns the device scene + textures + acceleration structure + accumulation
+film, exposes UpdateSceneData/OnUpdate/Render/SetSettings-style entry
+points, tracks TotalSamples for progressive accumulation with
+clear-on-change (ResetAccumulationImage, Renderer.cpp:801-808), and runs
+the adaptive samples-per-frame controller.
+
+Execution strategy: each wavefront stage (accel build, raygen, bounce,
+finish) is a separately cached jit; the host drives sample/bounce loops and
+early-exits when all lanes die. This sidesteps the XLA compile-time blowup
+of nesting traversal while-loops inside fori_loops on large scenes (see
+pt.render.integrator module docstring) and mirrors the reference's
+pipeline-cache design: stages compile once per settings 'variant'
+(≙ pipeline LRU cache keyed on spec constants, Pipeline.h:303-372).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pt.core.stats import Stats, Timer
+from pt.post.pipeline import PostProcessSettings, postprocess
+from pt.render.integrator import (Accel, BounceCarry, PathTracingSettings,
+                                  bounce_once, finish_sample, init_rng_state,
+                                  prepare_accel, raygen, start_carry)
+from pt.render.textures import DeviceTextures, default_texture_pool
+from pt.scene.builder import Scene
+from pt.scene.flatten import DeviceScene, flatten_scene, update_seg_transforms
+from pt.run.adaptive import AdaptiveSampleController
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _prepare_jit(ds: DeviceScene, settings: PathTracingSettings) -> Accel:
+    return prepare_accel(ds, settings)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "settings"))
+def _raygen_jit(px, py, width, height, inv_view, inv_proj, state, settings):
+    state, o, d = raygen(px, py, width, height, inv_view, inv_proj, state,
+                         settings)
+    return start_carry(state, o, d)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _bounce_jit(ds, tex, accel, carry, settings):
+    carry = bounce_once(ds, tex, accel, carry, settings)
+    return carry, jnp.any(carry.alive)
+
+
+@jax.jit
+def _accumulate_jit(carry: BounceCarry, accum, rays_total):
+    """Fold one finished sample into the film (additive, like the
+    accumulation imageStore raygen.rgen:115-117)."""
+    flat = accum.reshape(-1, 3)
+    flat = finish_sample(carry, flat)
+    return flat.reshape(accum.shape), rays_total + carry.rays
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _init_state_jit(px, py, width, frame):
+    return init_rng_state(px, py, width, frame)
+
+
+class Renderer:
+    """Progressive wavefront renderer for one scene (≙ static Renderer)."""
+
+    def __init__(self,
+                 settings: Optional[PathTracingSettings] = None,
+                 post: Optional[PostProcessSettings] = None,
+                 min_refresh_rate: float = 60.0,
+                 max_samples_per_frame: int = 64):
+        self.settings = settings or PathTracingSettings()
+        self.post = post or PostProcessSettings()
+        self.width = 0
+        self.height = 0
+        self.ds: Optional[DeviceScene] = None
+        self.tex: Optional[DeviceTextures] = None
+        self.accel: Optional[Accel] = None
+        self.scene: Optional[Scene] = None
+        self.accum = None                 # (H, W, 3) f32 device film
+        self.total_samples = 0
+        self.rays_total = None            # () i32 device counter
+        self.adaptive = AdaptiveSampleController(min_refresh_rate,
+                                                 max_samples_per_frame)
+        self._px = self._py = None
+        self._accel_dirty = True
+
+    # -- scene management (≙ Renderer::UpdateSceneData, Renderer.cpp:238) --
+    def set_scene(self, scene: Scene,
+                  tex: Optional[DeviceTextures] = None) -> None:
+        self.scene = scene
+        with Timer("Mesh Upload"):
+            self.ds = flatten_scene(scene)
+        if tex is not None:
+            self.tex = tex
+        elif scene.textures:
+            from pt.scene.textures import build_scene_textures
+            with Timer("Texture Upload"):
+                self.tex = build_scene_textures(scene)
+        else:
+            self.tex = default_texture_pool()
+        self._accel_dirty = True
+        self.reset_accumulation()
+
+    def update_scene_data(self, scene_changed: bool = False) -> None:
+        """Per-frame: refresh animated transforms + rebuild accel; reset
+        accumulation when anything moved."""
+        if self.scene is None:
+            raise RuntimeError("no scene set")
+        if scene_changed:
+            self.ds = update_seg_transforms(self.ds, self.scene)
+            self._accel_dirty = True
+            self.reset_accumulation()
+
+    def on_resize(self, width: int, height: int) -> None:
+        if (self.width, self.height) == (width, height):
+            return
+        self.width, self.height = width, height
+        ys, xs = np.meshgrid(np.arange(height, dtype=np.uint32),
+                             np.arange(width, dtype=np.uint32), indexing="ij")
+        self._px = jnp.asarray(xs.reshape(-1))
+        self._py = jnp.asarray(ys.reshape(-1))
+        self.reset_accumulation()
+
+    def set_settings(self, settings: Optional[PathTracingSettings] = None,
+                     post: Optional[PostProcessSettings] = None) -> None:
+        """≙ Renderer::SetSettings (Renderer.cpp:825-852); path-tracing
+        setting changes reset accumulation."""
+        if settings is not None and settings != self.settings:
+            if settings.backend != self.settings.backend or \
+               settings.bvh_leaf_size != self.settings.bvh_leaf_size:
+                self._accel_dirty = True
+            self.settings = settings
+            self.reset_accumulation()
+        if post is not None:
+            self.post = post
+
+    def reset_accumulation(self) -> None:
+        """≙ ResetAccumulationImage (Renderer.cpp:801-808)."""
+        if self.width and self.height:
+            self.accum = jnp.zeros((self.height, self.width, 3), jnp.float32)
+        self.total_samples = 0
+        self.rays_total = jnp.zeros((), jnp.int32)
+
+    # -- adaptive controller (≙ Renderer::OnUpdate) ------------------------
+    def on_update(self, dt: float) -> None:
+        spf = self.adaptive.on_update(dt)
+        if spf != self.settings.sample_count:
+            # sample_count is a host-loop bound, not a jit static — no
+            # recompilation, unlike bounce settings
+            self.settings = dataclasses.replace(self.settings,
+                                                sample_count=spf)
+        Stats.add_stat("Samples Per Frame", spf)
+
+    # -- rendering --------------------------------------------------------
+    def _ensure_accel(self) -> None:
+        if self._accel_dirty or self.accel is None:
+            with Timer("Acceleration Structure Build"):
+                self.accel = _prepare_jit(self.ds, self.settings)
+            self._accel_dirty = False
+
+    def render(self, samples: Optional[int] = None) -> int:
+        """One progressive accumulation step: trace `samples` (default
+        settings.sample_count) full paths per pixel, add to the film.
+        Returns the new total sample count (≙ Renderer::Render,
+        Renderer.cpp:1659-1809, without the swapchain parts)."""
+        if self.ds is None or not self.width:
+            raise RuntimeError("scene or film not initialized")
+        self._ensure_accel()
+        cam = self.scene.cameras[0]
+        cam.on_resize(self.width, self.height)
+        inv_view = jnp.asarray(cam.inv_view, jnp.float32)
+        inv_proj = jnp.asarray(cam.inv_proj, jnp.float32)
+
+        samples = samples if samples is not None else self.settings.sample_count
+        state = _init_state_jit(self._px, self._py, self.width,
+                                jnp.uint32(self.total_samples))
+        with Timer("Render"):
+            for _ in range(samples):
+                carry = _raygen_jit(self._px, self._py, self.width,
+                                    self.height, inv_view, inv_proj, state,
+                                    self.settings)
+                for bounce in range(self.settings.bounce_count):
+                    carry, any_alive = _bounce_jit(self.ds, self.tex,
+                                                   self.accel, carry,
+                                                   self.settings)
+                    # early-exit costs one device sync; only worth checking
+                    # once a couple of bounces have had a chance to die off
+                    if bounce >= 2 and not bool(any_alive):
+                        break
+                self.accum, self.rays_total = _accumulate_jit(
+                    carry, self.accum, self.rays_total)
+                state = carry.state
+        self.total_samples += samples
+        Stats.add_stat("Total Samples", self.total_samples)
+        return self.total_samples
+
+    def snapshot(self, hdr: bool = False) -> np.ndarray:
+        """Resolve the film through the post stack → float image (host)."""
+        out = postprocess(self.accum, float(max(self.total_samples, 1)),
+                          self.post, hdr)
+        return np.asarray(out)
+
+    @property
+    def rays_traced(self) -> int:
+        return int(self.rays_total) if self.rays_total is not None else 0

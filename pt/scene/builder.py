@@ -90,7 +90,12 @@ class Scene:
                                       for l in self.point_lights]
         self.directional_light: Optional[DirectionalLight] = b.directional_light
         self.skybox: Skybox = b.skybox
-        self.cameras: List[Camera] = list(b.cameras)
+        # deferred importer cameras bind to the built graph here
+        # (≙ scene cameras constructed against node CurrentTransform,
+        # Scene.cpp:41-46)
+        self.cameras: List[Camera] = [
+            c.resolve(self.graph) if hasattr(c, "resolve") else c
+            for c in b.cameras]
         self.texture_mapping: Dict = dict(b.texture_mapping)
 
         # resolved per-instance world transforms (refreshed by update())
@@ -286,9 +291,11 @@ class SceneBuilder:
         if not self.node_parents:
             self.add_scene_node(0, np.eye(4))
         if not self.cameras:
+            # the reference's built-in input camera (Scene.h:259-260; note
+            # the swapped near/far quirk preserved for matrix parity)
             from pt.core.camera import InputCamera
-            self.cameras.append(InputCamera(45.0, 0.1, 1000.0,
-                                            (0.0, 0.0, -4.0), (0.0, 0.0, 1.0)))
+            self.cameras.append(InputCamera(45.0, 100.0, 0.1,
+                                            (3.0, 1.0, 0.0), (-1.0, 0.0, 0.0)))
         return Scene(self)
 
 

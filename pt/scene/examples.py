@@ -226,6 +226,52 @@ def create_roughness_test_scene(builder: SceneBuilder) -> None:
                                    (0.0, 0.0, 1.0)))
 
 
+def create_heightfield_scene(builder: SceneBuilder, n: int = 224) -> None:
+    """Procedural stress scene (no reference counterpart): an n×n wavy
+    heightfield (2·(n−1)² triangles) with a diffuse material, a sun
+    directional light, and a fly camera. Used to benchmark BVH traversal at
+    realistic triangle counts without needing imported assets."""
+    xs = np.linspace(-10, 10, n, dtype=np.float32)
+    zs = np.linspace(-10, 10, n, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, zs, indexing="ij")
+    gy = (np.sin(gx * 1.3) * np.cos(gz * 1.1) * 0.8
+          + 0.25 * np.sin(gx * 4.7) * np.sin(gz * 3.9)).astype(np.float32)
+    pos = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    # analytic-ish normals via central differences
+    dy_dx = np.gradient(gy, axis=0)
+    dy_dz = np.gradient(gy, axis=1)
+    nrm = np.stack([-dy_dx, np.ones_like(gy), -dy_dz], axis=-1).reshape(-1, 3)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = -nrm  # world up is -y (reference camera convention)
+    uv = np.stack([(gx + 10) / 20, (gz + 10) / 20], axis=-1).reshape(-1, 2)
+
+    idx = np.arange(n * n).reshape(n, n)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[:-1, 1:].ravel()
+    tris = np.concatenate([np.stack([a, b, c], -1), np.stack([c, d, a], -1)])
+
+    vbase = builder.add_vertices(pos, uv, nrm)
+    ibase = builder.add_indices((tris + 0).ravel())
+    geo = builder.add_geometry(Geometry(vbase, n * n, ibase, len(tris) * 3, True))
+    mat = builder.add_material("ground", MetallicRoughnessMaterial(
+        color=(0.55, 0.5, 0.45, 1.0), roughness=0.9))
+    model = builder.add_model([MeshInfo(geo, mat)])
+    node = builder.add_scene_node(0, np.eye(4))
+    builder.add_model_instance(model, node)
+    builder.set_directional_light(DirectionalLight(color=(3.0, 2.9, 2.7),
+                                                   direction=(0.4, 0.8, 0.3)))
+    builder.add_camera(InputCamera(45.0, 100.0, 0.1, (0.0, -4.0, -14.0),
+                                   (0.0, 0.25, 1.0)))
+
+
+def make_heightfield_scene(n: int = 224) -> Scene:
+    b = SceneBuilder("Heightfield")
+    create_heightfield_scene(b, n)
+    return b.create_scene()
+
+
 def make_default_scene() -> Scene:
     b = SceneBuilder("Default")
     create_default_scene(b)
@@ -243,4 +289,5 @@ def make_roughness_test_scene() -> Scene:
 TEST_SCENES: Dict[str, Callable[[], Scene]] = {
     "Default": make_default_scene,
     "Roughness Test Cubes": make_roughness_test_scene,
+    "Heightfield": make_heightfield_scene,
 }

@@ -1,0 +1,200 @@
+"""Texture import + device upload pipeline.
+
+Counterpart of the reference's TextureImporter (stb/gli decode,
+TextureImporter.cpp) and TextureUploader (multi-threaded streaming decode,
+VRAM-budget-driven downscaling, sRGB-vs-linear format selection,
+TextureUploader.cpp:272-595):
+
+* metadata without pixel load (`get_texture_info` ≙ GetTextureInfo)
+* PIL decode for PNG/JPG/TGA/WEBP/DDS + a native Radiance .hdr reader
+  (PIL lacks one; HDR feeds equirect skyboxes)
+* parallel decode on a ThreadDispatch pool (≙ loader jthreads)
+* budget policy: textures above `max_texture_size` or exceeding the memory
+  budget are box-downscaled before upload (≙ DetermineMaxTextureSizes +
+  the scaling-image downsample path, TextureUploader.cpp:401-569)
+* sRGB decode for color/emissive at upload (≙ GetImageFormat,
+  TextureUploader.cpp:571-595)
+
+Output is the flat DeviceTextures pool (pt.render.textures): defaults at
+slots 0..8, scene textures from SCENE_TEXTURE_OFFSET in registration order.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from pt.core.config import Config, get_config
+from pt.core.threads import ThreadDispatch
+from pt.render.textures import (DeviceTextures, TexturePoolBuilder,
+                                add_default_textures)
+from pt.scene.types import TextureInfo, TextureType
+
+
+def read_radiance_hdr(data: bytes) -> np.ndarray:
+    """Minimal Radiance RGBE (.hdr) reader → (H, W, 3) float32.
+    (≙ stb_image's HDR path used for skyboxes, TextureImporter.cpp:24+)."""
+    stream = io.BytesIO(data)
+    if not stream.readline().startswith(b"#?"):
+        raise ValueError("not a Radiance HDR file")
+    while True:
+        line = stream.readline()
+        if line in (b"\n", b""):
+            break
+    dims = stream.readline().split()
+    if len(dims) != 4 or dims[0] != b"-Y" or dims[2] != b"+X":
+        raise ValueError(f"unsupported HDR orientation {dims}")
+    h, w = int(dims[1]), int(dims[3])
+    raw = stream.read()
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        if raw[pos] == 2 and raw[pos + 1] == 2:     # adaptive RLE
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = raw[pos]
+                    pos += 1
+                    if count > 128:                 # run
+                        rgbe[y, x:x + count - 128, c] = raw[pos]
+                        pos += 1
+                        x += count - 128
+                    else:                           # literal
+                        rgbe[y, x:x + count, c] = np.frombuffer(
+                            raw, np.uint8, count, pos)
+                        pos += count
+                        x += count
+        else:                                        # flat scanline
+            row = np.frombuffer(raw, np.uint8, w * 4, pos).reshape(w, 4)
+            rgbe[y] = row
+            pos += w * 4
+    exp = rgbe[..., 3].astype(np.int32)
+    scale = np.where(exp == 0, 0.0,
+                     np.ldexp(1.0, exp - 136)).astype(np.float32)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None]
+
+
+def _decode_bytes(data: bytes, name: str) -> np.ndarray:
+    """Decode encoded image bytes → (H, W, 4) float32 in [0,1] (LDR) or
+    linear floats (HDR)."""
+    if data[:2] == b"#?":
+        rgb = read_radiance_hdr(data)
+        return np.concatenate([rgb, np.ones_like(rgb[..., :1])], axis=-1)
+    from PIL import Image
+    img = Image.open(io.BytesIO(data))
+    img = img.convert("RGBA")
+    return np.asarray(img, np.float32) / 255.0
+
+
+def get_texture_info(info: TextureInfo) -> TextureInfo:
+    """Fill width/height metadata without decoding pixels
+    (≙ TextureImporter::GetTextureInfo)."""
+    if info.pixels is not None:
+        info.height, info.width = info.pixels.shape[:2]
+        return info
+    try:
+        from PIL import Image
+        if info.path is not None:
+            with Image.open(info.path) as im:
+                info.width, info.height = im.size
+        elif info.data is not None and info.data[:2] != b"#?":
+            with Image.open(io.BytesIO(info.data)) as im:
+                info.width, info.height = im.size
+    except Exception:
+        pass
+    return info
+
+
+def load_texture_pixels(info: TextureInfo) -> Optional[np.ndarray]:
+    """Full decode → (H, W, 4) float32; None on failure (caller falls back
+    to the default texture, ≙ SceneImporter.cpp:89-98)."""
+    try:
+        if info.pixels is not None:
+            px = np.asarray(info.pixels, np.float32)
+            if px.ndim == 2:
+                px = px[..., None]
+            if px.shape[-1] == 3:
+                px = np.concatenate([px, np.ones_like(px[..., :1])], -1)
+            if px.dtype == np.uint8 or px.max() > 2.0:
+                px = px / 255.0
+            return px
+        data = info.data
+        if data is None and info.path is not None:
+            with open(info.path, "rb") as f:
+                data = f.read()
+        if data is None:
+            return None
+        return _decode_bytes(data, info.name)
+    except Exception:
+        return None
+
+
+def _downscale_to(pixels: np.ndarray, max_dim: int) -> np.ndarray:
+    """Repeated 2x box downsample until both dims ≤ max_dim (≙ the blit
+    downscale chain through scaling images, TextureUploader.cpp:401-514)."""
+    from pt.render.textures import _downsample2x
+    while max(pixels.shape[0], pixels.shape[1]) > max_dim:
+        pixels = _downsample2x(pixels)
+    return pixels
+
+
+def _budget_max_dim(infos: List[TextureInfo], cfg: Config) -> int:
+    """Shrink the global size cap until the estimated pool fits the memory
+    budget (≙ GetImageMemoryBudget → DetermineMaxTextureSizes,
+    TextureUploader.cpp:551-569). Pool texels are RGBA f32 with mips (x4/3)."""
+    max_dim = cfg.max_texture_size
+    bytes_per_texel = 16 * 4 // 3
+    while max_dim > 64:
+        total = 0
+        for info in infos:
+            w = min(info.width or max_dim, max_dim)
+            h = min(info.height or max_dim, max_dim)
+            total += w * h * bytes_per_texel
+        if total <= cfg.texture_memory_budget:
+            break
+        max_dim //= 2
+    return max_dim
+
+
+def build_texture_pool(infos: List[TextureInfo],
+                       cfg: Optional[Config] = None,
+                       progress=None) -> DeviceTextures:
+    """Decode all scene textures in parallel and build the device pool.
+    Slot order: defaults 0..8, then `infos` in order (matching the
+    SCENE_TEXTURE_OFFSET indexing contract)."""
+    cfg = cfg or get_config()
+    infos = [get_texture_info(i) for i in infos]
+    max_dim = _budget_max_dim(infos, cfg)
+
+    decoded: List[Optional[np.ndarray]] = [None] * len(infos)
+
+    def work(i: int) -> None:
+        px = load_texture_pixels(infos[i])
+        if px is not None:
+            px = _downscale_to(px, max_dim)
+        decoded[i] = px
+        if progress:
+            progress(infos[i].name)
+
+    if infos:
+        ThreadDispatch(cfg.loader_thread_count).dispatch_blocking(len(infos),
+                                                                  work)
+
+    builder = TexturePoolBuilder()
+    add_default_textures(builder)
+    from pt.scene.types import (DEFAULT_COLOR_TEXTURE, default_texture_index)
+    for info, px in zip(infos, decoded):
+        if px is None:
+            # broken texture → 1x1 magenta placeholder keeps table indices
+            # stable while flagging the asset visually
+            px = np.asarray([[[1.0, 0.0, 1.0, 1.0]]], np.float32)
+        builder.add(px, srgb=info.is_srgb, generate_mips=True)
+    return builder.build()
+
+
+def build_scene_textures(scene, cfg: Optional[Config] = None,
+                         progress=None) -> DeviceTextures:
+    return build_texture_pool(scene.textures, cfg, progress)

@@ -1,0 +1,162 @@
+"""Output saver, offline renderer, scene manager, and app shell tests."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from pt.out.saver import (OutputInfo, OutputSaver, write_image,
+                          write_radiance_hdr)
+from pt.scene.textures import read_radiance_hdr
+
+
+def test_write_read_hdr_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = (rng.random((8, 12, 3)) * 50).astype(np.float32)
+    path = str(tmp_path / "out.hdr")
+    write_radiance_hdr(path, img)
+    back = read_radiance_hdr(open(path, "rb").read())
+    rel = np.abs(back - img) / np.maximum(img.max(-1, keepdims=True), 1e-6)
+    assert rel.max() < 0.01
+
+
+@pytest.mark.parametrize("fmt", ["png", "jpg", "tga"])
+def test_write_ldr_formats(tmp_path, fmt):
+    img = np.zeros((4, 4, 3), np.float32)
+    img[1, 2] = (1.0, 0.5, 0.25)
+    path = str(tmp_path / f"out.{fmt}")
+    write_image(path, img)
+    from PIL import Image
+    back = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255
+    if fmt != "jpg":
+        np.testing.assert_allclose(back[1, 2], [1.0, 0.5, 0.25], atol=0.01)
+
+
+def test_saver_async_image(tmp_path):
+    saver = OutputSaver()
+    path = str(tmp_path / "frame.png")
+    saver.register_output(OutputInfo(path, 8, 8, 30.0, "png"))
+    saver.submit_frame(np.full((8, 8, 3), 0.5, np.float32))
+    saver.end_output()
+    assert os.path.exists(path)
+
+
+def test_saver_cancel_deletes_partial(tmp_path):
+    saver = OutputSaver()
+    path = str(tmp_path / "frame.png")
+    saver.register_output(OutputInfo(path, 8, 8, 30.0, "png"))
+    saver.submit_frame(np.zeros((8, 8, 3), np.float32))
+    time.sleep(0.2)
+    saver.cancel_output()
+    assert not os.path.exists(path)          # ≙ CancelOutput deletes file
+    assert not saver.active
+
+
+def test_scene_manager_async_and_failure():
+    from pt.scene.manager import SceneDescription, SceneManager
+    mgr = SceneManager()
+    assert "Default" in mgr.groups["Test Scenes"]
+    mgr.set_active_scene("Test Scenes", "Default")   # async
+    mgr.wait()
+    scene = mgr.get_active_scene()
+    assert scene is not None and scene.name == "Default"
+
+    # missing file → to_loader None (validation, ≙ SceneManager.cpp:66-94)
+    assert SceneDescription("x", ["/nope/missing.gltf"]).to_loader() is None
+
+    # loader that throws keeps the previous scene
+    class Boom:
+        def load(self, b):
+            raise RuntimeError("boom")
+    mgr.register("Test Scenes", "Broken", Boom())
+    mgr.set_active_scene("Test Scenes", "Broken", blocking=True)
+    assert mgr.get_active_scene().name == "Default"
+
+
+def test_offline_render_sample_budget(tmp_path):
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.offline import OfflineRenderer, RenderSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.examples import make_default_scene
+
+    r = Renderer(PathTracingSettings(sample_count=2, bounce_count=3,
+                                     backend="brute"))
+    r.set_scene(make_default_scene())
+    path = str(tmp_path / "offline.png")
+    off = OfflineRenderer(r)
+    frames = off.render(RenderSettings(
+        output=OutputInfo(path, 24, 24, 30.0, "png"),
+        frame_count=1, max_sample_count=8, samples_per_step=4))
+    assert frames == 1
+    assert os.path.exists(path)
+    assert r.total_samples >= 8
+
+
+def test_offline_time_budget(tmp_path):
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.offline import OfflineRenderer, RenderSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.examples import make_default_scene
+
+    r = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
+                                     backend="brute"))
+    r.set_scene(make_default_scene())
+    path = str(tmp_path / "timed.png")
+    frames = OfflineRenderer(r).render(RenderSettings(
+        output=OutputInfo(path, 16, 16, 30.0, "png"),
+        frame_count=1, max_sample_count=100000,
+        max_time_seconds=0.05, samples_per_step=1))
+    assert frames == 1
+    assert r.total_samples < 100000          # time budget cut it short
+
+
+def test_app_boot_and_progressive_loop():
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.app import Application
+
+    app = Application()
+    app.renderer.set_settings(PathTracingSettings(
+        sample_count=1, bounce_count=2, backend="brute"))
+    app.init(width=24, height=24)
+    snapshots = []
+    app.run(target_frames=2,
+            on_frame=lambda img, total: snapshots.append((img.copy(), total)))
+    assert len(snapshots) == 2
+    assert snapshots[1][1] > snapshots[0][1]       # samples accumulate
+    assert np.isfinite(snapshots[-1][0]).all()
+    app.shutdown()
+
+
+def test_cli_list_scenes(capsys):
+    from pt.run.cli import main
+    assert main(["list-scenes"]) == 0
+    out = capsys.readouterr().out
+    assert "Test Scenes/Default" in out
+
+
+def test_debug_modes_render():
+    from pt.render.debug import DebugRenderMode, render_debug_image
+    from pt.render.integrator import PathTracingSettings
+    from pt.render.textures import default_texture_pool
+    from pt.scene.examples import make_default_scene
+    from pt.scene.flatten import flatten_scene
+    import jax.numpy as jnp
+
+    scene = make_default_scene()
+    ds = flatten_scene(scene)
+    tex = default_texture_pool()
+    cam = scene.cameras[0]
+    cam.on_resize(24, 24)
+    iv = jnp.asarray(cam.inv_view, jnp.float32)
+    ip = jnp.asarray(cam.inv_proj, jnp.float32)
+    images = {}
+    for mode in DebugRenderMode:
+        img = np.asarray(render_debug_image(ds, tex, iv, ip, 24, 24, mode))
+        assert np.isfinite(img).all(), mode
+        images[mode] = img
+    # normals differ from ids differ from color
+    assert not np.allclose(images[DebugRenderMode.NORMAL],
+                           images[DebugRenderMode.PRIMITIVE])
+    assert not np.allclose(images[DebugRenderMode.COLOR],
+                           images[DebugRenderMode.NORMAL])

@@ -1,0 +1,134 @@
+"""Texture pipeline tests: decode, HDR reader, budget downscale, device pool
+sampling, sRGB handling."""
+
+import io
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pt.core.config import Config
+from pt.render.textures import (DeviceTextures, TexturePoolBuilder,
+                                add_default_textures, build_mip_chain,
+                                default_texture_pool, sample_texture_grad,
+                                srgb_to_linear)
+from pt.scene.textures import (build_texture_pool, get_texture_info,
+                               load_texture_pixels, read_radiance_hdr)
+from pt.scene.types import (DEFAULT_NORMAL_TEXTURE, SCENE_TEXTURE_OFFSET,
+                            TextureInfo, TextureType)
+
+
+def _png_bytes(pixels_u8):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(pixels_u8).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _write_hdr(rgb: np.ndarray) -> bytes:
+    """Flat (non-RLE) Radiance writer for the reader test."""
+    h, w = rgb.shape[:2]
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + \
+        f"-Y {h} +X {w}\n".encode()
+    maxc = rgb.max(axis=-1)
+    exp = np.where(maxc > 0, np.floor(np.log2(np.maximum(maxc, 1e-38))) + 1,
+                   0).astype(np.int32)
+    scale = np.where(maxc > 0, 2.0 ** (8 - exp), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(maxc > 0, exp + 128, 0).astype(np.uint8)
+    return header + rgbe.tobytes()
+
+
+def test_hdr_roundtrip():
+    rng = np.random.default_rng(0)
+    rgb = (rng.random((8, 16, 3)) * 100.0).astype(np.float32)
+    out = read_radiance_hdr(_write_hdr(rgb))
+    assert out.shape == (8, 16, 3)
+    # RGBE quantization: relative error bounded by ~1/256
+    rel = np.abs(out - rgb) / np.maximum(rgb.max(-1, keepdims=True), 1e-6)
+    assert rel.max() < 0.01
+
+
+def test_png_decode_and_metadata():
+    px = np.zeros((4, 6, 3), np.uint8)
+    px[0, 0] = (255, 0, 0)
+    info = TextureInfo(name="t", type=TextureType.COLOR,
+                       data=_png_bytes(px))
+    info = get_texture_info(info)
+    assert (info.width, info.height) == (6, 4)
+    decoded = load_texture_pixels(info)
+    assert decoded.shape == (4, 6, 4)
+    np.testing.assert_allclose(decoded[0, 0], [1, 0, 0, 1])
+
+
+def test_broken_texture_fallback():
+    info = TextureInfo(name="bad", type=TextureType.COLOR,
+                       data=b"not an image")
+    pool = build_texture_pool([info], Config())
+    # slot SCENE_TEXTURE_OFFSET exists (magenta placeholder), pool valid
+    assert pool.count == SCENE_TEXTURE_OFFSET + 1
+    texel = np.asarray(pool.data[int(pool.offsets[SCENE_TEXTURE_OFFSET, 0])])
+    np.testing.assert_allclose(texel, [1, 0, 1, 1])
+
+
+def test_budget_downscale():
+    big = np.full((512, 512, 3), 128, np.uint8)
+    infos = [TextureInfo(name=f"t{i}", type=TextureType.NORMAL,
+                         data=_png_bytes(big)) for i in range(2)]
+    cfg = Config(max_texture_size=4096,
+                 texture_memory_budget=2 * 128 * 128 * 21)   # tiny budget
+    pool = build_texture_pool(infos, cfg)
+    w = int(pool.sizes[SCENE_TEXTURE_OFFSET, 0, 0])
+    assert w <= 128                         # forced below native 512
+
+
+def test_srgb_applied_to_color_only():
+    gray = np.full((2, 2, 3), 128, np.uint8)
+    infos = [TextureInfo(name="c", type=TextureType.COLOR,
+                         data=_png_bytes(gray), is_srgb=True),
+             TextureInfo(name="n", type=TextureType.NORMAL,
+                         data=_png_bytes(gray), is_srgb=False)]
+    pool = build_texture_pool(infos, Config())
+    c = float(pool.data[int(pool.offsets[SCENE_TEXTURE_OFFSET, 0])][0])
+    n = float(pool.data[int(pool.offsets[SCENE_TEXTURE_OFFSET + 1, 0])][0])
+    assert abs(c - srgb_to_linear(128 / 255.0)) < 1e-5
+    assert abs(n - 128 / 255.0) < 1e-5
+
+
+def test_mip_chain_and_trilinear():
+    # 4x4 checkerboard: level 1+ average to 0.5
+    px = np.indices((4, 4)).sum(0) % 2
+    px = np.repeat(px[..., None], 4, axis=-1).astype(np.float32)
+    b = TexturePoolBuilder()
+    add_default_textures(b)
+    b.add(px, generate_mips=True)
+    pool = b.build()
+    assert int(pool.mip_counts[SCENE_TEXTURE_OFFSET]) == 3
+    idx = jnp.full((1,), SCENE_TEXTURE_OFFSET, jnp.int32)
+    uv = jnp.asarray([[0.5, 0.5]])
+    # huge derivatives force the 1x1 top mip = global average 0.5
+    big = jnp.asarray([[10.0, 0.0]])
+    out = np.asarray(sample_texture_grad(pool, idx, uv, big, big))
+    np.testing.assert_allclose(out[0, :3], 0.5, atol=1e-5)
+
+
+def test_default_pool_constants():
+    pool = default_texture_pool()
+    assert pool.all_constant
+    idx = jnp.asarray([DEFAULT_NORMAL_TEXTURE], jnp.int32)
+    out = np.asarray(sample_texture_grad(pool, idx, jnp.asarray([[0.3, 0.7]])))
+    np.testing.assert_allclose(out[0], [128 / 255, 128 / 255, 1, 1])
+
+
+def test_repeat_wrap():
+    px = np.zeros((1, 2, 3), np.float32)
+    px[0, 0] = 1.0                        # left texel white, right black
+    b = TexturePoolBuilder()
+    add_default_textures(b)
+    b.add(px, generate_mips=False)
+    pool = b.build()
+    idx = jnp.full((2,), SCENE_TEXTURE_OFFSET, jnp.int32)
+    uv = jnp.asarray([[0.25, 0.5], [1.25, 0.5]])   # u and u+1 must match
+    out = np.asarray(sample_texture_grad(pool, idx, uv))
+    np.testing.assert_allclose(out[0], out[1], atol=1e-6)
