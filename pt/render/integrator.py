@@ -53,6 +53,10 @@ from pt.accel.pallas_bvh import (PacketBVH, build_packet_bvh, packet_closest,
 from pt.accel.traverse import bvh_closest, bvh_occluded
 from pt.render import rng as prng
 from pt.render.bsdf import evaluate_bsdf, sample_bsdf
+from pt.render.differentials import (DiffRays, compute_dp_dxy,
+                                     compute_dpn_duv, compute_uv_derivatives,
+                                     reflect_differentials,
+                                     refract_differentials)
 from pt.render.materials import sample_material
 from pt.render.rays import (TMAX, TMIN, construct_primary_rays,
                             offset_ray_origin_self_intersection,
@@ -99,7 +103,8 @@ class Accel(NamedTuple):
 
 class BounceCarry(NamedTuple):
     """Per-lane path state threaded across bounces (≙ Payload +
-    raygen locals, ShaderRendererTypes.incl / raygen.rgen:41-97)."""
+    raygen locals, ShaderRendererTypes.incl / raygen.rgen:41-97; the
+    differential-ray state mirrors RayDifferentials0..2)."""
     state: jax.Array          # (N,) uint32 RNG
     origin: jax.Array         # (N, 3)
     direction: jax.Array      # (N, 3)
@@ -108,6 +113,7 @@ class BounceCarry(NamedTuple):
     alive: jax.Array          # (N,) bool
     max_roughness: jax.Array  # (N,)
     rays: jax.Array           # () i32 useful-ray counter
+    diff: DiffRays            # texture-LOD differential rays
 
 
 def resolve_backend(settings: PathTracingSettings, num_tris: int) -> str:
@@ -147,10 +153,163 @@ def _finite_or_zero(radiance):
 
 
 def _skybox_emissive(ds: DeviceScene, directions):
-    """Miss 'shader' (≙ miss.rmiss:16-39). Skybox kind is static."""
-    if ds.skybox_kind == int(SkyboxKind.CLEAR):
-        return jnp.broadcast_to(ds.skybox_color, directions.shape)
-    raise NotImplementedError("2D/cube skybox sampling lands with textures")
+    """Miss 'shader' (≙ miss.rmiss:16-39). Skybox kind is static; equirect
+    applies the reference's hdrToLdr soft clamp (miss.rmiss:27,
+    common.glsl:17-20)."""
+    if ds.skybox_kind == int(SkyboxKind.EQUIRECT):
+        img = ds.skybox_image                      # (H, W, 3)
+        h, w = img.shape[0], img.shape[1]
+        longitude = jnp.arctan2(directions[:, 2], directions[:, 0])
+        latitude = jnp.arcsin(jnp.clip(-directions[:, 1], -1.0, 1.0))
+        u = longitude / (2.0 * jnp.pi) + 0.5
+        v = latitude / jnp.pi + 0.5
+        rgb = _bilinear_wrap(img, u, v)
+        # hdrToLdr: c / (1 + max component)
+        return rgb / (1.0 + jnp.max(rgb, axis=-1, keepdims=True))
+    if ds.skybox_kind == int(SkyboxKind.CUBE):
+        return _sample_cubemap(ds.skybox_image, directions)
+    return jnp.broadcast_to(ds.skybox_color, directions.shape)
+
+
+def _bilinear_wrap(img, u, v):
+    """Bilinear sample of an (H, W, 3) image; u wraps, v clamps."""
+    h, w = img.shape[0], img.shape[1]
+    x = u * w - 0.5
+    y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    def fetch(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), w)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        return img[yi, xi]
+
+    top = fetch(x0, y0) * (1 - fx) + fetch(x0 + 1, y0) * fx
+    bot = fetch(x0, y0 + 1) * (1 - fx) + fetch(x0 + 1, y0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _sample_cubemap(faces, directions):
+    """Cubemap lookup (faces (6, H, W, 3) in +X,-X,+Y,-Y,+Z,-Z order,
+    the Vulkan layer order the reference's cube skybox uses)."""
+    d = directions
+    ax, ay, az = (jnp.abs(d[:, 0]), jnp.abs(d[:, 1]), jnp.abs(d[:, 2]))
+    major_x = (ax >= ay) & (ax >= az)
+    major_y = (ay > ax) & (ay >= az)
+    face = jnp.where(major_x, jnp.where(d[:, 0] > 0, 0, 1),
+                     jnp.where(major_y, jnp.where(d[:, 1] > 0, 2, 3),
+                               jnp.where(d[:, 2] > 0, 4, 5)))
+    ma = jnp.where(major_x, ax, jnp.where(major_y, ay, az))
+    ma = jnp.maximum(ma, 1e-12)
+    # standard cubemap face (s,t) conventions
+    sc = jnp.where(major_x, jnp.where(d[:, 0] > 0, -d[:, 2], d[:, 2]),
+                   jnp.where(major_y, d[:, 0],
+                             jnp.where(d[:, 2] > 0, d[:, 0], -d[:, 0])))
+    tc = jnp.where(major_y, jnp.where(d[:, 1] > 0, d[:, 2], -d[:, 2]),
+                   -d[:, 1])
+    u = (sc / ma + 1.0) * 0.5
+    v = (tc / ma + 1.0) * 0.5
+    h, w = faces.shape[1], faces.shape[2]
+    xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return faces[face, yi, xi]
+
+
+ALPHA_ROUNDS = 4   # max transparent surfaces skipped per ray segment
+
+
+def _surface_color_alpha(ds: DeviceScene, tex: DeviceTextures, accel, hit):
+    """Color-texture RGBA at the hit (≙ the any-hit shaders' color fetch:
+    texture(colorTex, uv) * colorFactor, anyhit.rahit:44-50)."""
+    from pt.render.textures import sample_texture_grad
+    from pt.scene.flatten import F_COLOR, T_COLOR
+    tri = jnp.maximum(hit.tri, 0)
+    bary0 = (1.0 - hit.u - hit.v)[:, None]
+    ru = accel.tri_uv[tri]
+    uv = (ru[:, 0:2] * bary0 + ru[:, 2:4] * hit.u[:, None]
+          + ru[:, 4:6] * hit.v[:, None])
+    row = ds.tri_mat[tri]
+    texel = sample_texture_grad(tex, ds.mat_tex[row, T_COLOR], uv)
+    return texel * ds.mat_params[row, F_COLOR:F_COLOR + 4]
+
+
+def trace_closest_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
+                        origins, dirs, alive):
+    """Closest hit honoring alpha-tested geometry: non-opaque hits with
+    α < 0.5 are recorded as decals and skipped (≙ anyhit.rahit:52-64);
+    α ≥ 0.5 accepts. Returns (hit with cumulative t, decal_color (N,3),
+    decal_alpha (N,), has_decal (N,)).
+
+    Static-shape re-trace loop: up to ALPHA_ROUNDS segments; masked lanes
+    idle. Opaque-only scenes never call this (ds.has_alpha is static)."""
+    n = origins.shape[0]
+    pending = alive
+    cur_origin = origins
+    t_accum = jnp.zeros((n,), jnp.float32)
+    final = None
+    decal_color = jnp.zeros((n, 3), jnp.float32)
+    decal_alpha = jnp.zeros((n,), jnp.float32)
+    has_decal = jnp.zeros((n,), bool)
+
+    for _ in range(ALPHA_ROUNDS):
+        hit = trace_closest(accel.bvh, accel.wpos, ds.tri_idx,
+                            cur_origin, dirs)
+        opaque = ds.tri_opaque[jnp.maximum(hit.tri, 0)]
+        rgba = _surface_color_alpha(ds, tex, accel, hit)
+        alpha = rgba[:, 3]
+        is_alpha_skip = (pending & hit.is_hit & ~opaque & (alpha < 0.5))
+
+        # record the first (closest) decal per ray (anyhit keeps min dist)
+        record = is_alpha_skip & ~has_decal
+        decal_color = jnp.where(record[:, None], rgba[:, :3], decal_color)
+        decal_alpha = jnp.where(record, alpha, decal_alpha)
+        has_decal = has_decal | record
+
+        adjusted = type(hit)(t_accum + hit.t, hit.tri, hit.u, hit.v)
+        if final is None:
+            final = adjusted
+        else:
+            upd = pending
+            final = type(hit)(
+                jnp.where(upd, adjusted.t, final.t),
+                jnp.where(upd, adjusted.tri, final.tri),
+                jnp.where(upd, adjusted.u, final.u),
+                jnp.where(upd, adjusted.v, final.v))
+
+        step = hit.t + 1e-4
+        cur_origin = jnp.where(is_alpha_skip[:, None],
+                               cur_origin + dirs * step[:, None], cur_origin)
+        t_accum = jnp.where(is_alpha_skip, t_accum + step, t_accum)
+        pending = is_alpha_skip
+    return final, decal_color, decal_alpha, has_decal
+
+
+def trace_occluded_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
+                         origins, dirs, dist):
+    """Shadow query honoring alpha: any surface with α < 1 passes light
+    (≙ occlusionAnyhit.rahit:51-53)."""
+    n = origins.shape[0]
+    pending = jnp.ones((n,), bool)
+    occluded = jnp.zeros((n,), bool)
+    cur_origin = origins
+    remaining = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (n,))
+
+    for _ in range(ALPHA_ROUNDS):
+        hit = trace_closest(accel.bvh, accel.wpos, ds.tri_idx,
+                            cur_origin, dirs, remaining)
+        opaque = ds.tri_opaque[jnp.maximum(hit.tri, 0)]
+        rgba = _surface_color_alpha(ds, tex, accel, hit)
+        translucent = hit.is_hit & ~opaque & (rgba[:, 3] < 1.0)
+        occluded = occluded | (pending & hit.is_hit & ~translucent)
+        cont = pending & translucent
+        step = hit.t + 1e-4
+        cur_origin = jnp.where(cont[:, None],
+                               cur_origin + dirs * step[:, None], cur_origin)
+        remaining = jnp.where(cont, remaining - step, remaining)
+        pending = cont
+    return occluded
 
 
 def trace_closest(bvh, world_pos, tri_idx, origins, dirs, tmax=TMAX):
@@ -179,21 +338,23 @@ def init_rng_state(px, py, width: int, frame) -> jax.Array:
 
 def raygen(px, py, width: int, height: int, inv_view, inv_proj, state,
            settings: PathTracingSettings):
-    """Sample-start stage: jitter + (optional) lens draws, primary rays.
-    Returns (state, origin, direction)."""
+    """Sample-start stage: jitter + (optional) lens draws, primary rays +
+    one-pixel-offset differential rays (ray.glsl overloads).
+    Returns (state, origin, direction, DiffRays)."""
     state, u1, u2 = prng.rand2(state)
     if settings.lens_radius > 0:
         state, lu1, lu2 = prng.rand2(state)
-        ray, _, _ = construct_primary_rays(
+        ray, rx, ry = construct_primary_rays(
             px, py, width, height, inv_view, inv_proj, u1, u2,
             lu1, lu2, settings.lens_radius, settings.focal_distance)
     else:
-        ray, _, _ = construct_primary_rays(
+        ray, rx, ry = construct_primary_rays(
             px, py, width, height, inv_view, inv_proj, u1, u2)
-    return state, ray.origin, ray.direction
+    diff = DiffRays(rx.origin, rx.direction, ry.origin, ry.direction)
+    return state, ray.origin, ray.direction, diff
 
 
-def start_carry(state, origin, direction) -> BounceCarry:
+def start_carry(state, origin, direction, diff: DiffRays) -> BounceCarry:
     n = origin.shape[0]
     return BounceCarry(
         state=state, origin=origin, direction=direction,
@@ -201,11 +362,13 @@ def start_carry(state, origin, direction) -> BounceCarry:
         radiance=jnp.zeros((n, 3), jnp.float32),
         alive=jnp.ones((n,), bool),
         max_roughness=jnp.zeros((n,), jnp.float32),
-        rays=jnp.zeros((), jnp.int32))
+        rays=jnp.zeros((), jnp.int32),
+        diff=diff)
 
 
 def _shade_hit(ds: DeviceScene, tex: DeviceTextures, accel: Accel, hit,
-               ray_o, ray_d, state, alive, max_roughness):
+               ray_o, ray_d, state, alive, max_roughness, decal=None,
+               diff: Optional[DiffRays] = None):
     """Vectorized closest-hit 'shader' (≙ closestHit.rchit:52-161).
 
     Returns a dict payload with next-ray data, NEE data, emissive, bsdf/pdf,
@@ -243,7 +406,28 @@ def _shade_hit(ds: DeviceScene, tex: DeviceTextures, accel: Accel, hit,
     tangent = tangent * flip
     bitangent = bitangent * flip
 
-    mat = sample_material(ds, tex, ds.tri_mat[tri], uv, is_inside)
+    # ray differentials → UV footprints for textureGrad-style LOD
+    # (≙ closestHit.rchit:87-101 + tracing.glsl)
+    if diff is not None:
+        uv0, uv1, uv2 = ru[:, 0:2], ru[:, 2:4], ru[:, 4:6]
+        dpdu, dpdv, dndu, dndv = compute_dpn_duv(
+            p0, p1, p2, uv0, uv1, uv2, n0, n1, n2, tangent, bitangent)
+        dpdx, dpdy = compute_dp_dxy(position, diff, normal)
+        duv_x, duv_y = compute_uv_derivatives(dpdx, dpdy, dpdu, dpdv)
+    else:
+        duv_x = duv_y = None
+        dndu = dndv = None
+
+    mat = sample_material(ds, tex, ds.tri_mat[tri], uv, is_inside,
+                          duv_x, duv_y)
+
+    if decal is not None:
+        # decal tint from skipped alpha surfaces (≙ closestHit.rchit:104-106:
+        # material.Color = mix(Color, decalColor, decalAlpha))
+        d_color, d_alpha, d_has = decal
+        blended = mat.color * (1.0 - d_alpha[:, None]) + d_color * d_alpha[:, None]
+        mat = dataclasses.replace(
+            mat, color=jnp.where(d_has[:, None], blended, mat.color))
 
     # progressive roughness clamp (firefly suppression, closestHit.rchit:108-112)
     max_roughness = jnp.where(active,
@@ -281,6 +465,29 @@ def _shade_hit(ds: DeviceScene, tex: DeviceTextures, accel: Accel, hit,
     refr_origin = offset_ray_origin_self_intersection(position, -gn)
     next_origin = jnp.where(is_refracted[..., None], refr_origin, ray_origin)
 
+    # differential propagation for the continuation ray
+    # (≙ closestHit.rchit:155-161: reflected/refracted per-lane select)
+    next_dir_world = _normalize(to_world(bs.direction))
+    if diff is not None:
+        view = -_normalize(ray_d)
+        refl = reflect_differentials(diff, duv_x, duv_y, normal, ray_origin,
+                                     view, next_dir_world, dndu, dndv)
+        refr = refract_differentials(diff, duv_x, duv_y, normal, ray_origin,
+                                     view, next_dir_world, dndu, dndv,
+                                     mat.eta)
+        sel = is_refracted[:, None]
+        pick = lambda a, b: jnp.where(sel, a, b)
+        new_diff = DiffRays(pick(refr.rx_origin, refl.rx_origin),
+                            pick(refr.rx_dir, refl.rx_dir),
+                            pick(refr.ry_origin, refl.ry_origin),
+                            pick(refr.ry_dir, refl.ry_dir))
+        # keep previous differentials on missed/dead lanes
+        keep = active[:, None]
+        new_diff = DiffRays(*(jnp.where(keep, a, b)
+                              for a, b in zip(new_diff, diff)))
+    else:
+        new_diff = None
+
     # NEE light sample (closestHit.rchit:142-147): three rands
     state, u1, u2, u3 = prng.rand3(state)
     light = sample_light(u1, u2, u3, ray_origin,
@@ -300,7 +507,8 @@ def _shade_hit(ds: DeviceScene, tex: DeviceTextures, accel: Accel, hit,
         bsdf=bsdf_color,
         pdf=bs.pdf,
         next_origin=next_origin,
-        next_dir=_normalize(to_world(bs.direction)),
+        next_dir=next_dir_world,
+        diff=new_diff,
         light_dir=light.direction,
         light_dist=light.distance,
         light_pdf=light.pdf,
@@ -333,9 +541,20 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     """One wavefront bounce: closest trace → shade → NEE → RR
     (≙ one iteration of raygen.rgen:62-97)."""
     (state, origin, direction, throughput, radiance, alive,
-     max_roughness, rays) = carry
+     max_roughness, rays, diff) = carry
     rays = rays + jnp.sum(alive.astype(jnp.int32))
-    sort_packets = isinstance(accel.bvh, PacketBVH)
+    decal = None
+    if ds.has_alpha:
+        # alpha-tested geometry: the re-trace loops implement any-hit
+        # semantics; coherence sorting is skipped on this path for now
+        hit, d_color, d_alpha, d_has = trace_closest_alpha(
+            ds, tex, accel, origin, direction, alive)
+        decal = (d_color, d_alpha, d_has)
+        sort_packets = False
+    elif isinstance(accel.bvh, PacketBVH):
+        sort_packets = True
+    else:
+        sort_packets = False
     if sort_packets:
         # defer the actual traces so closest+shadow share one sort; we must
         # first shade to know the shadow rays, so trace closest here with
@@ -355,7 +574,7 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
                               t_s)
         hit = type(hit_s)(hit_s.t[inv], hit_s.tri[inv], hit_s.u[inv],
                           hit_s.v[inv])
-    else:
+    elif not ds.has_alpha:
         hit = trace_closest(accel.bvh, accel.wpos, ds.tri_idx, origin,
                             direction)
     missed = alive & ~hit.is_hit
@@ -365,7 +584,7 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     radiance = radiance + jnp.where(missed[..., None], throughput * sky, 0.0)
 
     payload = _shade_hit(ds, tex, accel, hit, origin, direction,
-                         state, alive, max_roughness)
+                         state, alive, max_roughness, decal, diff)
     state = payload["state"]
     max_roughness = payload["max_roughness"]
     active = alive & hit.is_hit
@@ -376,7 +595,11 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
 
     # NEE (raygen.rgen:81-83)
     shadow_dir = -_normalize(payload["light_dir"])
-    if sort_packets:
+    if ds.has_alpha:
+        occluded = trace_occluded_alpha(ds, tex, accel,
+                                        payload["next_origin"], shadow_dir,
+                                        payload["light_dist"])
+    elif sort_packets:
         shadow_live = active & (payload["light_pdf"] > 0.0)
         so_s = jnp.where(shadow_live[perm][:, None],
                          payload["next_origin"][perm], outside)
@@ -423,7 +646,8 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
                            throughput)
 
     return BounceCarry(state, payload["next_origin"], payload["next_dir"],
-                       throughput, radiance, survived, max_roughness, rays)
+                       throughput, radiance, survived, max_roughness, rays,
+                       payload["diff"])
 
 
 def finish_sample(carry: BounceCarry, radiance_sum):
@@ -447,9 +671,10 @@ def render_flat(ds: DeviceScene, tex: DeviceTextures, inv_view, inv_proj,
 
     def sample_body(_, scarry):
         state, radiance_sum, ray_count = scarry
-        state, origin, direction = raygen(px, py, width, height,
-                                          inv_view, inv_proj, state, settings)
-        carry = start_carry(state, origin, direction)
+        state, origin, direction, diff = raygen(px, py, width, height,
+                                                inv_view, inv_proj, state,
+                                                settings)
+        carry = start_carry(state, origin, direction, diff)
         carry = carry._replace(rays=ray_count)
 
         carry = jax.lax.fori_loop(

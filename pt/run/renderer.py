@@ -45,9 +45,9 @@ def _prepare_jit(ds: DeviceScene, settings: PathTracingSettings) -> Accel:
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "settings"))
 def _raygen_jit(px, py, width, height, inv_view, inv_proj, state, settings):
-    state, o, d = raygen(px, py, width, height, inv_view, inv_proj, state,
-                         settings)
-    return start_carry(state, o, d)
+    state, o, d, diff = raygen(px, py, width, height, inv_view, inv_proj,
+                               state, settings)
+    return start_carry(state, o, d, diff)
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))

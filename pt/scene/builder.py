@@ -203,6 +203,37 @@ class SceneBuilder:
         self.indices.extend(int(i) for i in indices)
         return base
 
+    def add_animated_vertices(self, positions, tex_coords, normals,
+                              tangents, bitangents, bone_indices,
+                              bone_weights) -> int:
+        """Append skinned vertices (≙ AnimatedVertex with ≤4 bone
+        influences, ShaderTypes.incl:52-59). Returns the base offset into
+        the animated arrays."""
+        base = len(self.animated_vertices)
+        positions = np.asarray(positions, np.float32).reshape(-1, 3)
+        n = len(positions)
+        v = self.animated_vertices
+        v.positions = np.concatenate([v.positions, positions])
+        v.tex_coords = np.concatenate(
+            [v.tex_coords, np.asarray(tex_coords, np.float32).reshape(n, 2)])
+        v.normals = np.concatenate(
+            [v.normals, np.asarray(normals, np.float32).reshape(n, 3)])
+        v.tangents = np.concatenate(
+            [v.tangents, np.asarray(tangents, np.float32).reshape(n, 3)])
+        v.bitangents = np.concatenate(
+            [v.bitangents, np.asarray(bitangents, np.float32).reshape(n, 3)])
+        v.bone_indices = np.concatenate(
+            [v.bone_indices, np.asarray(bone_indices, np.int32).reshape(n, 4)])
+        w = np.asarray(bone_weights, np.float32).reshape(n, 4)
+        wsum = np.maximum(w.sum(axis=1, keepdims=True), 1e-8)
+        v.bone_weights = np.concatenate([v.bone_weights, w / wsum])
+        return base
+
+    def add_animated_indices(self, indices: Sequence[int]) -> int:
+        base = len(self.animated_indices)
+        self.animated_indices.extend(int(i) for i in indices)
+        return base
+
     def add_geometry(self, geometry: Geometry) -> int:
         self.geometries.append(geometry)
         return len(self.geometries) - 1

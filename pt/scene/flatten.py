@@ -84,7 +84,15 @@ class DeviceScene:
     dir_light_color: jax.Array      # (3,) f32
     dir_light_dir: jax.Array        # (3,) f32
 
+    # skinning (≙ AnimatedVertex bone data + the bone-palette UBO,
+    # ShaderTypes.incl:52-59, skinning.comp): zero weights = unskinned
+    bone_idx: jax.Array             # (V, 4) i32
+    bone_weight: jax.Array          # (V, 4) f32 (rows sum to 1 or 0)
+    bone_palette: jax.Array         # (B, 4, 4) f32 world @ inverse-bind
+
     skybox_color: jax.Array         # (3,) f32 (CLEAR kind)
+    skybox_image: jax.Array         # EQUIRECT: (H, W, 3); CUBE: (6, H, W, 3);
+                                    # (1, 1, 3) dummy otherwise
 
     # static (hashable) metadata — jit specializes on these like the
     # reference's pipeline specialization constants (Renderer.cpp:676-709)
@@ -92,6 +100,12 @@ class DeviceScene:
                                          default=int(SkyboxKind.CLEAR))
     flip_normal_y: bool = dataclasses.field(metadata=dict(static=True),
                                             default=False)
+    has_skinning: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=False)
+    # any non-opaque triangles → the integrator runs the alpha-test/decal
+    # re-trace loops (≙ the any-hit shaders; opaque-only scenes skip them)
+    has_alpha: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
 
     @property
     def num_triangles(self) -> int:
@@ -105,11 +119,12 @@ class DeviceScene:
 def world_vertices(ds: DeviceScene):
     """Per-frame world-space flatten: positions via point transform, normal
     frame via inverse-transpose (≙ closest-hit `transform`,
-    Shaders/sampling.glsl:5-15, which multiplies by mesh-transform ×
-    instance-transform and inverse-transpose for normals).
+    Shaders/sampling.glsl:5-15), with linear-blend skinning for vertices
+    carrying bone weights (≙ skinning.comp:21-50 — LBS over a ≤4-bone
+    palette; glTF semantics: skinned vertices ignore the node transform).
 
     Returns (positions, normals, tangents, bitangents), each (V, 3) f32.
-    One gather + batched (V,1,4)x(V,4,4) contractions — MXU/VPU friendly.
+    Batched contractions — MXU/VPU friendly.
     """
     t = ds.seg_transform[ds.vert_seg]                     # (V, 4, 4)
     p = ds.obj_positions
@@ -124,12 +139,30 @@ def world_vertices(ds: DeviceScene):
                           preferred_element_type=jnp.float32)
     nrm = jnp.einsum("vij,vj->vi", nt, ds.obj_normals,
                      preferred_element_type=jnp.float32)
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
     tan = xfr(ds.obj_tangents)
-    tan = tan / jnp.maximum(jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
     bit = xfr(ds.obj_bitangents)
-    bit = bit / jnp.maximum(jnp.linalg.norm(bit, axis=-1, keepdims=True), 1e-20)
-    return pos, nrm, tan, bit
+
+    if ds.has_skinning:
+        # blended bone matrix per vertex: (V, 4, 4) = Σ w_k palette[idx_k]
+        mats = ds.bone_palette[ds.bone_idx]               # (V, 4, 4, 4)
+        blend = jnp.einsum("vk,vkij->vij", ds.bone_weight, mats,
+                           preferred_element_type=jnp.float32)
+        wsum = jnp.sum(ds.bone_weight, axis=1)
+        skinned = wsum > 0.0
+        spos = (jnp.einsum("vij,vj->vi", blend[:, :3, :3], p,
+                           preferred_element_type=jnp.float32)
+                + blend[:, :3, 3])
+        sx = lambda v: jnp.einsum("vij,vj->vi", blend[:, :3, :3], v,
+                                  preferred_element_type=jnp.float32)
+        sel = skinned[:, None]
+        pos = jnp.where(sel, spos, pos)
+        nrm = jnp.where(sel, sx(ds.obj_normals), nrm)
+        tan = jnp.where(sel, sx(ds.obj_tangents), tan)
+        bit = jnp.where(sel, sx(ds.obj_bitangents), bit)
+
+    unit = lambda v: v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+    return pos, unit(nrm), unit(tan), unit(bit)
 
 
 def _normal_matrices(transforms: jax.Array) -> jax.Array:
@@ -150,8 +183,8 @@ def flatten_scene(scene: Scene) -> DeviceScene:
 
     mat_rows, mid_to_row = _build_material_table(scene)
 
+    bone_idx, bone_weight = [], []
     vbase = 0
-    v = scene.vertices
     for inst_i, inst in enumerate(scene.instances):
         model = scene.models[inst.model_index]
         inst_t = scene.instance_transforms[inst_i].astype(np.float64)
@@ -160,15 +193,24 @@ def flatten_scene(scene: Scene) -> DeviceScene:
             seg = len(seg_transforms)
             seg_transforms.append((inst_t @ np.asarray(mesh.transform, np.float64))
                                   .astype(np.float32))
+            v = scene.animated_vertices if geo.is_animated else scene.vertices
+            indices_src = (scene.animated_indices if geo.is_animated
+                           else scene.indices)
             s, n = geo.vertex_offset, geo.vertex_count
             positions.append(v.positions[s:s + n])
             normals.append(v.normals[s:s + n])
             tangents.append(v.tangents[s:s + n])
             bitangents.append(v.bitangents[s:s + n])
             uvs.append(v.tex_coords[s:s + n])
+            if geo.is_animated:
+                bone_idx.append(v.bone_indices[s:s + n])
+                bone_weight.append(v.bone_weights[s:s + n])
+            else:
+                bone_idx.append(np.zeros((n, 4), np.int32))
+                bone_weight.append(np.zeros((n, 4), np.float32))
             vert_seg.append(np.full(n, seg, np.int32))
-            idx = scene.indices[geo.index_offset:geo.index_offset + geo.index_count]
-            tris = idx.astype(np.int64).reshape(-1, 3) + vbase
+            idx = indices_src[geo.index_offset:geo.index_offset + geo.index_count]
+            tris = np.asarray(idx, np.int64).reshape(-1, 3) + vbase
             tri_idx.append(tris.astype(np.int32))
             row = mid_to_row[mesh.material_id]
             tri_mat.append(np.full(len(tris), row, np.int32))
@@ -196,9 +238,15 @@ def flatten_scene(scene: Scene) -> DeviceScene:
         mat_tex=jnp.asarray(mat_rows["tex"]),
         mat_type=jnp.asarray(mat_rows["type"]),
         **lights,
+        bone_idx=jnp.asarray(cat(bone_idx)),
+        bone_weight=jnp.asarray(cat(bone_weight)),
+        bone_palette=jnp.asarray(np.asarray(scene.bone_transforms, np.float32)),
         skybox_color=jnp.asarray(np.asarray(scene.skybox.color, np.float32)),
+        skybox_image=_skybox_image(scene),
         skybox_kind=int(scene.skybox.kind),
         flip_normal_y=bool(scene.texture_mapping.get("dx_normals", False)),
+        has_skinning=any(g.is_animated for g in scene.geometries),
+        has_alpha=bool((~cat(tri_opaque)).any()),
     )
 
 
@@ -214,7 +262,16 @@ def update_seg_transforms(ds: DeviceScene, scene: Scene) -> DeviceScene:
                                   .astype(np.float32))
     lights = _build_lights(scene)
     return dataclasses.replace(
-        ds, seg_transform=jnp.asarray(np.stack(seg_transforms)), **lights)
+        ds, seg_transform=jnp.asarray(np.stack(seg_transforms)),
+        bone_palette=jnp.asarray(np.asarray(scene.bone_transforms, np.float32)),
+        **lights)
+
+
+def _skybox_image(scene: Scene):
+    img = scene.skybox.image
+    if img is None:
+        return jnp.zeros((1, 1, 3), jnp.float32)
+    return jnp.asarray(np.asarray(img, np.float32)[..., :3])
 
 
 def _build_material_table(scene: Scene):

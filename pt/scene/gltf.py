@@ -196,7 +196,13 @@ class GLTFImporter:
         for r in roots:
             self._load_node(r, base)
 
-        self._geometry_cache: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        # skins first: primitives with JOINTS_0 need the joint → global
+        # bone mapping (≙ LoadBones before mesh loading)
+        self._skin_bones: Dict[int, List[int]] = {}
+        for skin_idx, skin in enumerate(g.get("skins", [])):
+            self._register_skin_bones(skin_idx, skin)
+
+        self._geometry_cache: Dict[Tuple[int, int, int], Tuple[int, int]] = {}
         for gltf_node, builder_node in self._node_map.items():
             node = g["nodes"][gltf_node]
             if "mesh" in node:
@@ -211,8 +217,6 @@ class GLTFImporter:
 
         for anim in g.get("animations", []):
             self._load_animation(anim)
-        for skin_idx, skin in enumerate(g.get("skins", [])):
-            self._register_skin_bones(skin_idx, skin)
 
     # ------------------------------------------------------------------
     def _load_node(self, idx: int, parent: int) -> None:
@@ -321,12 +325,13 @@ class GLTFImporter:
         return self.b.add_material(name, mat)
 
     # ------------------------------------------------------------------
-    def _load_primitive(self, mesh_idx: int, prim_idx: int,
-                        prim: dict) -> Tuple[int, bool]:
+    def _load_primitive(self, mesh_idx: int, prim_idx: int, prim: dict,
+                        skin: Optional[int] = None) -> Tuple[int, bool]:
         """Load one primitive → geometry index (cached by identity,
         ≙ FindSameGeometry mesh dedup, SceneImporter.cpp:403-413).
-        Returns (geometry_index, is_opaque)."""
-        key = (mesh_idx, prim_idx)
+        Returns (geometry_index, is_opaque). Primitives with JOINTS_0 and
+        a skin become animated geometries (skinned on device)."""
+        key = (mesh_idx, prim_idx, skin if skin is not None else -1)
         if key in self._geometry_cache:
             return self._geometry_cache[key]
         gltf = self._gltf
@@ -359,11 +364,24 @@ class GLTFImporter:
                 .get("alphaMode", "OPAQUE")
         is_opaque = alpha_mode == "OPAQUE"
 
-        vbase = self.b.add_vertices(pos, uv, nrm, tan, bit)
-        # re-base indices to 0 (builder offsets via Geometry.vertex_offset)
-        ibase = self.b.add_indices(idx.tolist())
-        geo = self.b.add_geometry(Geometry(vbase, n, ibase, len(idx),
-                                           is_opaque))
+        skinned = (skin is not None and "JOINTS_0" in attrs
+                   and "WEIGHTS_0" in attrs and skin in self._skin_bones)
+        if skinned:
+            joints = gltf.accessor(attrs["JOINTS_0"]).astype(np.int64)
+            weights = gltf.accessor(attrs["WEIGHTS_0"]).astype(np.float32)
+            bone_map = np.asarray(self._skin_bones[skin], np.int64)
+            safe = np.clip(joints, 0, len(bone_map) - 1)
+            global_bones = bone_map[safe].astype(np.int32)
+            vbase = self.b.add_animated_vertices(pos, uv, nrm, tan, bit,
+                                                 global_bones, weights)
+            ibase = self.b.add_animated_indices(idx.tolist())
+            geo = self.b.add_geometry(Geometry(vbase, n, ibase, len(idx),
+                                               is_opaque, is_animated=True))
+        else:
+            vbase = self.b.add_vertices(pos, uv, nrm, tan, bit)
+            ibase = self.b.add_indices(idx.tolist())
+            geo = self.b.add_geometry(Geometry(vbase, n, ibase, len(idx),
+                                               is_opaque))
         self._geometry_cache[key] = (geo, is_opaque)
         if self._progress:
             self._progress(f"mesh {mesh_idx}.{prim_idx}")
@@ -374,7 +392,7 @@ class GLTFImporter:
         mesh = self._gltf.json["meshes"][mesh_idx]
         meshes = []
         for pi, prim in enumerate(mesh.get("primitives", [])):
-            geo, _ = self._load_primitive(mesh_idx, pi, prim)
+            geo, _ = self._load_primitive(mesh_idx, pi, prim, skin)
             mat = prim.get("material")
             mid = (self._material_ids[mat] if mat is not None
                    else self._default_material)
@@ -428,7 +446,8 @@ class GLTFImporter:
                 name=anim.get("name", "")))
 
     def _register_skin_bones(self, skin_idx: int, skin: dict) -> None:
-        """≙ LoadBones (SceneImporter.cpp:420-453): joints + inverse binds."""
+        """≙ LoadBones (SceneImporter.cpp:420-453): joints + inverse binds.
+        Records the joint → builder-bone mapping for JOINTS_0 remapping."""
         gltf = self._gltf
         joints = skin.get("joints", [])
         if "inverseBindMatrices" in skin:
@@ -436,10 +455,15 @@ class GLTFImporter:
                 .astype(np.float64).reshape(-1, 4, 4).transpose(0, 2, 1)
         else:
             ibms = np.tile(np.eye(4), (len(joints), 1, 1))
+        mapping = []
         for j, joint in enumerate(joints):
             if joint in self._node_map:
-                self.b.add_bone(f"skin{skin_idx}:joint{joint}",
-                                self._node_map[joint], ibms[j])
+                mapping.append(self.b.add_bone(
+                    f"skin{skin_idx}:joint{joint}",
+                    self._node_map[joint], ibms[j]))
+            else:
+                mapping.append(0)
+        self._skin_bones[skin_idx] = mapping
 
     def _load_camera(self, cam_idx: int, builder_node: int) -> None:
         """≙ LoadCameras (SceneImporter.cpp:990-1021)."""
