@@ -1,0 +1,101 @@
+"""ctypes bridge to the native C++ acceleration-structure builder.
+
+The reference's fast-trace BVH builds happen in the Vulkan driver's native
+code; here `csrc/sah_bvh.cpp` fills that role for static scenes. The
+shared library is compiled on demand with g++ (no pybind11 in this
+environment — plain C ABI + ctypes) and cached next to the source; absence
+of a compiler degrades gracefully to the device Morton builder.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc" / "sah_bvh.cpp"
+_LIB_DIR = _SRC.parent / ".build"
+_LIB = _LIB_DIR / "libptsah.so"
+_lock = threading.Lock()
+_lib_handle: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _compile() -> bool:
+    _LIB_DIR.mkdir(exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(_LIB)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib_handle, _lib_failed
+    with _lock:
+        if _lib_handle is not None or _lib_failed:
+            return _lib_handle
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _compile():
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            _lib_failed = True
+            return None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.pt_build_sah_bvh.restype = ctypes.c_int
+        lib.pt_build_sah_bvh.argtypes = [f32p, f32p, f32p, ctypes.c_int,
+                                         ctypes.c_int, i32p, f32p, f32p,
+                                         i32p, i32p, i32p]
+        _lib_handle = lib
+        return lib
+
+
+def sah_available() -> bool:
+    return _load() is not None
+
+
+def build_sah(tri_lo: np.ndarray, tri_hi: np.ndarray, centroids: np.ndarray,
+              max_leaf: int) -> Optional[Tuple[np.ndarray, ...]]:
+    """Run the native binned-SAH build.
+
+    Inputs are (T, 3) float32 arrays. Returns (order, node_lo, node_hi,
+    miss, leaf_start, leaf_count) in threaded preorder, or None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    t = tri_lo.shape[0]
+    tri_lo = np.ascontiguousarray(tri_lo, np.float32)
+    tri_hi = np.ascontiguousarray(tri_hi, np.float32)
+    centroids = np.ascontiguousarray(centroids, np.float32)
+    cap = 2 * t + 1
+    order = np.zeros(t, np.int32)
+    node_lo = np.zeros((cap, 3), np.float32)
+    node_hi = np.zeros((cap, 3), np.float32)
+    miss = np.zeros(cap, np.int32)
+    leaf_start = np.zeros(cap, np.int32)
+    leaf_count = np.zeros(cap, np.int32)
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    as_f = lambda a: a.ctypes.data_as(f32p)
+    as_i = lambda a: a.ctypes.data_as(i32p)
+    n = lib.pt_build_sah_bvh(as_f(tri_lo), as_f(tri_hi), as_f(centroids),
+                             t, max_leaf, as_i(order), as_f(node_lo),
+                             as_f(node_hi), as_i(miss), as_i(leaf_start),
+                             as_i(leaf_count))
+    if n <= 0:
+        return None
+    return (order, node_lo[:n], node_hi[:n], miss[:n], leaf_start[:n],
+            leaf_count[:n])

@@ -392,3 +392,73 @@ def packet_occluded(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
       tt(origins[:, 0]), tt(origins[:, 1]), tt(origins[:, 2]),
       tt(dirs[:, 0]), tt(dirs[:, 1]), tt(dirs[:, 2]), tt(dist))
     return occ.reshape(-1)[:n] > 0
+
+
+MAX_TOP_NODES = 2 * MAX_TOP_LEAVES - 1
+
+
+def build_packet_bvh_sah(positions_np, tri_idx_np,
+                         block: int = TRIS_PER_BLOCK):
+    """Host-side packet-BVH build using the native binned-SAH builder
+    (csrc/sah_bvh.cpp) — higher-quality trees for static scenes
+    (≙ PREFER_FAST_TRACE builds, AccelerationStructure.cpp:319-324).
+
+    Returns a PacketBVH or None when the native library is unavailable.
+    The SAH leaf cap grows until the node count fits the SMEM budget.
+    """
+    import numpy as np
+    from pt.accel.native import build_sah
+
+    positions_np = np.asarray(positions_np, np.float32)
+    tri_idx_np = np.asarray(tri_idx_np, np.int64)
+    v0 = positions_np[tri_idx_np[:, 0]]
+    v1 = positions_np[tri_idx_np[:, 1]]
+    v2 = positions_np[tri_idx_np[:, 2]]
+    tri_lo = np.minimum(np.minimum(v0, v1), v2)
+    tri_hi = np.maximum(np.maximum(v0, v1), v2)
+    centroids = (v0 + v1 + v2) / 3.0
+
+    result = None
+    while block <= 1024:
+        result = build_sah(tri_lo, tri_hi, centroids, block)
+        if result is None:
+            return None
+        if len(result[3]) <= MAX_TOP_NODES:
+            break
+        block *= 2            # bigger pages → fewer nodes → fits SMEM
+        result = None
+    if result is None:
+        return None
+    order, node_lo, node_hi, miss, leaf_start, leaf_count = result
+    if leaf_count.max(initial=0) > block:
+        return None       # couldn't fit SMEM budget with leaves ≤ block
+
+    n_top = len(miss)
+    is_leaf = leaf_start >= 0
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    n_leaves = len(leaf_nodes)
+    top_leaf = np.full(n_top, -1, np.int32)
+    top_leaf[leaf_nodes] = np.arange(n_leaves, dtype=np.int32)
+
+    # leaf pages: (n_leaves, block, 128) with v0,e1,e2,id rows; -1 padding
+    pages = np.zeros((n_leaves, block, 128), np.float32)
+    pad_id = np.full(block, -1, np.int32)
+    for li, node in enumerate(leaf_nodes):
+        s, c = leaf_start[node], leaf_count[node]
+        tris = order[s:s + c]
+        pages[li, :c, 0:3] = v0[tris]
+        pages[li, :c, 3:6] = (v1 - v0)[tris]
+        pages[li, :c, 6:9] = (v2 - v0)[tris]
+        ids = pad_id.copy()
+        ids[:c] = tris
+        pages[li, :, 9] = ids.view(np.float32)
+
+    return PacketBVH(
+        top_lo=jnp.asarray(node_lo),
+        top_hi=jnp.asarray(node_hi),
+        top_miss=jnp.asarray(miss),
+        top_leaf=jnp.asarray(top_leaf),
+        tris=jnp.asarray(pages),
+        n_top=int(n_top),
+        block=block,
+    )

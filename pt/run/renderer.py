@@ -43,6 +43,15 @@ def _prepare_jit(ds: DeviceScene, settings: PathTracingSettings) -> Accel:
     return prepare_accel(ds, settings)
 
 
+@functools.partial(jax.jit, static_argnames=("settings",))
+def _prepare_attribs_jit(ds: DeviceScene, settings: PathTracingSettings):
+    """World vertices + packed per-triangle attributes, no BVH (the BVH is
+    supplied by the native SAH builder for static scenes)."""
+    import dataclasses as _dc
+    accel = prepare_accel(ds, _dc.replace(settings, backend="brute"))
+    return accel
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "settings"))
 def _raygen_jit(px, py, width, height, inv_view, inv_proj, state, settings):
     state, o, d, diff = raygen(px, py, width, height, inv_view, inv_proj,
@@ -163,10 +172,29 @@ class Renderer:
 
     # -- rendering --------------------------------------------------------
     def _ensure_accel(self) -> None:
-        if self._accel_dirty or self.accel is None:
-            with Timer("Acceleration Structure Build"):
+        if not (self._accel_dirty or self.accel is None):
+            return
+        with Timer("Acceleration Structure Build"):
+            use_sah = (self.settings.backend == "pallas"
+                       and jax.default_backend() == "tpu"
+                       and self.scene is not None
+                       and not self.scene.has_animated_instances
+                       and not self.scene.has_skinned_geometry)
+            if use_sah:
+                # static scene → native binned-SAH build (higher quality;
+                # ≙ PREFER_FAST_TRACE); animated scenes rebuild the
+                # device-side Morton tree per frame (≙ ALLOW_UPDATE)
+                from pt.accel.pallas_bvh import build_packet_bvh_sah
+                base = _prepare_attribs_jit(self.ds, self.settings)
+                bvh = build_packet_bvh_sah(np.asarray(base.wpos),
+                                           np.asarray(self.ds.tri_idx))
+                if bvh is not None:
+                    self.accel = base._replace(bvh=bvh)
+                else:
+                    self.accel = _prepare_jit(self.ds, self.settings)
+            else:
                 self.accel = _prepare_jit(self.ds, self.settings)
-            self._accel_dirty = False
+        self._accel_dirty = False
 
     def render(self, samples: Optional[int] = None) -> int:
         """One progressive accumulation step: trace `samples` (default
