@@ -36,6 +36,7 @@ from pt.render.textures import DeviceTextures, default_texture_pool
 from pt.scene.builder import Scene
 from pt.scene.flatten import DeviceScene, flatten_scene, update_seg_transforms
 from pt.run.adaptive import AdaptiveSampleController
+from pt.render.differentials import DiffRays
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
@@ -79,6 +80,60 @@ def _init_state_jit(px, py, width, frame):
     return init_rng_state(px, py, width, frame)
 
 
+def _carry_pspec(axis):
+    from jax.sharding import PartitionSpec as P
+    lane = P(axis)
+    return BounceCarry(
+        state=lane, origin=lane, direction=lane, throughput=lane,
+        radiance=lane, alive=lane, max_roughness=lane, rays=P(),
+        diff=DiffRays(lane, lane, lane, lane))
+
+
+class _ShardedStages:
+    """shard_map-wrapped wavefront stages for multi-chip film-row data
+    parallelism (the TPU-native scale-out: pixels are independent, the
+    scene is replicated read-only, the only collective is the ray-count
+    psum — film rows gather only at save time; SURVEY §2.7/§5)."""
+
+    def __init__(self, mesh, width, height, settings):
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        cspec = _carry_pspec(axis)
+        lane = P(axis)
+        self.mesh = mesh
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(lane, lane, P(), P(), P()),
+                           out_specs=cspec, check_vma=False)
+        def raygen_stage(px, py, inv_view, inv_proj, frame):
+            state = init_rng_state(px, py, width, frame)
+            state, o, d, diff = raygen(px, py, width, height,
+                                       inv_view, inv_proj, state, settings)
+            return start_carry(state, o, d, diff)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(P(), P(), P(), cspec),
+                           out_specs=(cspec, P(), P()), check_vma=False)
+        def bounce_stage(ds, tex, accel, carry):
+            out = bounce_once(ds, tex, accel, carry, settings)
+            # carry.rays stays zero in sharded mode; report this bounce's
+            # global ray count separately (one psum per bounce)
+            rays_delta = jax.lax.psum(out.rays - carry.rays, axis)
+            out = out._replace(rays=carry.rays)
+            return out, jax.lax.psum(
+                jnp.sum(out.alive.astype(jnp.int32)), axis), rays_delta
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(cspec, lane),
+                           out_specs=lane, check_vma=False)
+        def accumulate_stage(carry, accum_flat):
+            return finish_sample(carry, accum_flat)
+
+        self.raygen = jax.jit(raygen_stage)
+        self.bounce = jax.jit(bounce_stage)
+        self.accumulate = jax.jit(accumulate_stage)
+
+
 class Renderer:
     """Progressive wavefront renderer for one scene (≙ static Renderer)."""
 
@@ -86,7 +141,12 @@ class Renderer:
                  settings: Optional[PathTracingSettings] = None,
                  post: Optional[PostProcessSettings] = None,
                  min_refresh_rate: float = 60.0,
-                 max_samples_per_frame: int = 64):
+                 max_samples_per_frame: int = 64,
+                 mesh=None):
+        """`mesh`: optional jax.sharding.Mesh for multi-chip film-row data
+        parallelism (pt.dist.film_mesh()); None = single device."""
+        self.mesh = mesh
+        self._stages = None          # lazily built _ShardedStages
         self.settings = settings or PathTracingSettings()
         self.post = post or PostProcessSettings()
         self.width = 0
@@ -138,6 +198,16 @@ class Renderer:
                              np.arange(width, dtype=np.uint32), indexing="ij")
         self._px = jnp.asarray(xs.reshape(-1))
         self._py = jnp.asarray(ys.reshape(-1))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = self.mesh.devices.size
+            if (width * height) % n_dev:
+                raise ValueError(
+                    f"film {width}x{height} not divisible by mesh size {n_dev}")
+            sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            self._px = jax.device_put(self._px, sh)
+            self._py = jax.device_put(self._py, sh)
+            self._stages = None
         self.reset_accumulation()
 
     def set_settings(self, settings: Optional[PathTracingSettings] = None,
@@ -210,27 +280,51 @@ class Renderer:
         inv_proj = jnp.asarray(cam.inv_proj, jnp.float32)
 
         samples = samples if samples is not None else self.settings.sample_count
-        state = _init_state_jit(self._px, self._py, self.width,
-                                jnp.uint32(self.total_samples))
         with Timer("Render"):
-            for _ in range(samples):
-                carry = _raygen_jit(self._px, self._py, self.width,
-                                    self.height, inv_view, inv_proj, state,
-                                    self.settings)
-                for bounce in range(self.settings.bounce_count):
-                    carry, any_alive = _bounce_jit(self.ds, self.tex,
-                                                   self.accel, carry,
-                                                   self.settings)
-                    # early-exit costs one device sync; only worth checking
-                    # once a couple of bounces have had a chance to die off
-                    if bounce >= 2 and not bool(any_alive):
-                        break
-                self.accum, self.rays_total = _accumulate_jit(
-                    carry, self.accum, self.rays_total)
-                state = carry.state
+            if self.mesh is not None:
+                self._render_sharded(samples, inv_view, inv_proj)
+            else:
+                state = _init_state_jit(self._px, self._py, self.width,
+                                        jnp.uint32(self.total_samples))
+                for _ in range(samples):
+                    carry = _raygen_jit(self._px, self._py, self.width,
+                                        self.height, inv_view, inv_proj,
+                                        state, self.settings)
+                    for bounce in range(self.settings.bounce_count):
+                        carry, any_alive = _bounce_jit(self.ds, self.tex,
+                                                       self.accel, carry,
+                                                       self.settings)
+                        # early-exit costs one device sync; only worth
+                        # checking once bounces have had a chance to die off
+                        if bounce >= 2 and not bool(any_alive):
+                            break
+                    self.accum, self.rays_total = _accumulate_jit(
+                        carry, self.accum, self.rays_total)
+                    state = carry.state
         self.total_samples += samples
         Stats.add_stat("Total Samples", self.total_samples)
         return self.total_samples
+
+    def _render_sharded(self, samples: int, inv_view, inv_proj) -> None:
+        """Multi-chip film-row render: each sample is seeded by a distinct
+        frame counter (decorrelated streams; intra-frame stream
+        continuation is a single-device property)."""
+        if self._stages is None:
+            self._stages = _ShardedStages(self.mesh, self.width, self.height,
+                                          self.settings)
+        accum_flat = self.accum.reshape(-1, 3)
+        for s in range(samples):
+            frame = jnp.uint32(self.total_samples + s)
+            carry = self._stages.raygen(self._px, self._py, inv_view,
+                                        inv_proj, frame)
+            for bounce in range(self.settings.bounce_count):
+                carry, alive_count, rays_delta = self._stages.bounce(
+                    self.ds, self.tex, self.accel, carry)
+                self.rays_total = self.rays_total + rays_delta
+                if bounce >= 2 and int(alive_count) == 0:
+                    break
+            accum_flat = self._stages.accumulate(carry, accum_flat)
+        self.accum = accum_flat.reshape(self.accum.shape)
 
     def snapshot(self, hdr: bool = False) -> np.ndarray:
         """Resolve the film through the post stack → float image (host)."""

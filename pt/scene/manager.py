@@ -118,6 +118,8 @@ class SceneManager:
         group["Heightfield"] = CustomSceneLoader(
             examples.create_heightfield_scene)
         self.discover_khronos_scenes()
+        from pt.scene.catalog import add_high_quality_scenes
+        add_high_quality_scenes(self)
 
     def discover_khronos_scenes(self) -> None:
         """Scan the configured scenes directory for glTF sample directories

@@ -122,3 +122,26 @@ def test_bloom_adds_glow():
     # neighborhood pixels pick up energy only with bloom
     assert with_bloom[32, 36].sum() > without[32, 36].sum()
     assert with_bloom[20, 20].sum() >= without[20, 20].sum()
+
+
+def test_production_renderer_sharded(default_setup):
+    """The host-orchestrated multi-chip path (shard_map stages) agrees with
+    the single-device production renderer in expectation."""
+    from pt.dist.mesh import film_mesh
+    from pt.run.renderer import Renderer
+    scene, _, _, _ = default_setup
+    st = PathTracingSettings(sample_count=1, bounce_count=3, backend="brute")
+    mesh = film_mesh()
+    r = Renderer(st, mesh=mesh)
+    r.set_scene(scene)
+    r.on_resize(32, 32)
+    r.render(4)
+    img = np.asarray(r.accum) / 4
+    r2 = Renderer(st)
+    r2.set_scene(scene)
+    r2.on_resize(32, 32)
+    r2.render(4)
+    ref = np.asarray(r2.accum) / 4
+    assert np.isfinite(img).all()
+    # decorrelated seeds → statistical agreement, not bit equality
+    assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-9) < 0.2
