@@ -29,7 +29,11 @@ def main() -> None:
     renderer.set_scene(make_heightfield_scene(224))
     renderer.on_resize(width, height)
 
-    renderer.render(1)          # compile / cache warmup
+    # warmup: compiles the kernels AND the compaction size classes the
+    # plan discovers after the first step (each class is a cached variant)
+    renderer.render(1)
+    renderer.render()
+    renderer.render()
     start_rays = renderer.rays_traced
 
     steps = 4

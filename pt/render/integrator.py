@@ -82,6 +82,9 @@ class PathTracingSettings:
     # small scenes)
     backend: str = "pallas"
     bvh_leaf_size: int = 4
+    # per-bounce coherence sort of secondary rays (octant+Morton);
+    # primary bounces are already coherent via film tiling
+    sort_rays: bool = True
 
 
 class Accel(NamedTuple):
@@ -537,12 +540,15 @@ def _coherence_keys(bvh: "PacketBVH", origin, direction, alive):
 
 def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
                 carry: BounceCarry,
-                settings: PathTracingSettings) -> BounceCarry:
+                settings: PathTracingSettings,
+                sort_rays: bool = True) -> BounceCarry:
     """One wavefront bounce: closest trace → shade → NEE → RR
-    (≙ one iteration of raygen.rgen:62-97)."""
+    (≙ one iteration of raygen.rgen:62-97). `sort_rays` statically disables
+    the coherence sort (used for the already-coherent primary bounce)."""
     (state, origin, direction, throughput, radiance, alive,
      max_roughness, rays, diff) = carry
     rays = rays + jnp.sum(alive.astype(jnp.int32))
+    sort = sort_rays and settings.sort_rays
     decal = None
     if ds.has_alpha:
         # alpha-tested geometry: the re-trace loops implement any-hit
@@ -552,7 +558,7 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
         decal = (d_color, d_alpha, d_has)
         sort_packets = False
     elif isinstance(accel.bvh, PacketBVH):
-        sort_packets = True
+        sort_packets = sort
     else:
         sort_packets = False
     if sort_packets:

@@ -60,24 +60,69 @@ def _raygen_jit(px, py, width, height, inv_view, inv_proj, state, settings):
     return start_carry(state, o, d, diff)
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def _bounce_jit(ds, tex, accel, carry, settings):
-    carry = bounce_once(ds, tex, accel, carry, settings)
-    return carry, jnp.any(carry.alive)
+@functools.partial(jax.jit, static_argnames=("settings", "sort_rays"))
+def _bounce_jit(ds, tex, accel, carry, settings, sort_rays=True):
+    carry = bounce_once(ds, tex, accel, carry, settings, sort_rays)
+    return carry, jnp.sum(carry.alive.astype(jnp.int32))
 
 
 @jax.jit
-def _accumulate_jit(carry: BounceCarry, accum, rays_total):
+def _accumulate_jit(carry: BounceCarry, accum, rays_total, film_perm):
     """Fold one finished sample into the film (additive, like the
-    accumulation imageStore raygen.rgen:115-117)."""
+    accumulation imageStore raygen.rgen:115-117). `film_perm` maps lane →
+    film pixel (lanes are tile-swizzled for packet coherence)."""
     flat = accum.reshape(-1, 3)
-    flat = finish_sample(carry, flat)
+    from pt.render.integrator import _finite_or_zero
+    flat = flat.at[film_perm].add(_finite_or_zero(carry.radiance))
     return flat.reshape(accum.shape), rays_total + carry.rays
+
+
+def _tile_order(width: int, height: int, tile: int = 32) -> np.ndarray:
+    """Pixel visit order grouping 32x32 tiles: each 1024-ray packet then
+    covers a compact square tile instead of a thin full-width scanline
+    strip, shrinking the BVH footprint each packet traverses."""
+    ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    lin = (ys * width + xs)
+    ty, iy = np.divmod(ys, tile)
+    tx, ix = np.divmod(xs, tile)
+    tiles_x = (width + tile - 1) // tile
+    key = ((ty * tiles_x + tx) * tile + iy) * tile + ix
+    return lin.reshape(-1)[np.argsort(key.reshape(-1), kind="stable")]
 
 
 @functools.partial(jax.jit, static_argnames=("width",))
 def _init_state_jit(px, py, width, frame):
     return init_rng_state(px, py, width, frame)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _compact_jit(carry: BounceCarry, k: int):
+    """Gather the live lanes of `carry` into a k-lane sub-batch (k static,
+    a power of two ≥ the live count). The classic wavefront compaction —
+    dead lanes stop costing trace/shade work — adapted to static shapes by
+    jumping between a few compiled size classes. Results are bit-identical
+    to the uncompacted loop: dead lanes neither consume RNG nor contribute.
+
+    Returns (sub_carry, perm) where perm maps sub-lane → original lane."""
+    n = carry.alive.shape[0]
+    # stable partition: live lanes first (order preserved)
+    order = jnp.argsort(jnp.where(carry.alive, 0, 1).astype(jnp.int32),
+                        stable=True)
+    perm = order[:k]
+    take = lambda a: a[perm] if a.ndim else a
+    sub = jax.tree_util.tree_map(take, carry)
+    return sub, perm
+
+
+@jax.jit
+def _scatter_jit(full: BounceCarry, sub: BounceCarry, perm):
+    """Write a compacted sub-batch back into the full carry."""
+    put = lambda f, s: f.at[perm].set(s) if f.ndim else s
+    return jax.tree_util.tree_map(put, full, sub)
+
+
+def _size_class(n_alive: int, minimum: int = 1024) -> int:
+    return max(minimum, 1 << max(0, (n_alive - 1).bit_length()))
 
 
 def _carry_pspec(axis):
@@ -162,6 +207,7 @@ class Renderer:
                                                  max_samples_per_frame)
         self._px = self._py = None
         self._accel_dirty = True
+        self._compaction_plan = None
 
     # -- scene management (≙ Renderer::UpdateSceneData, Renderer.cpp:238) --
     def set_scene(self, scene: Scene,
@@ -196,17 +242,20 @@ class Renderer:
         self.width, self.height = width, height
         ys, xs = np.meshgrid(np.arange(height, dtype=np.uint32),
                              np.arange(width, dtype=np.uint32), indexing="ij")
-        self._px = jnp.asarray(xs.reshape(-1))
-        self._py = jnp.asarray(ys.reshape(-1))
+        order = _tile_order(width, height)
+        self._px = jnp.asarray(xs.reshape(-1)[order])
+        self._py = jnp.asarray(ys.reshape(-1)[order])
+        self._film_perm = jnp.asarray(order.astype(np.int32))
         if self.mesh is not None:
+            # sharded mode keeps scanline order so film rows shard cleanly
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_dev = self.mesh.devices.size
             if (width * height) % n_dev:
                 raise ValueError(
                     f"film {width}x{height} not divisible by mesh size {n_dev}")
             sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
-            self._px = jax.device_put(self._px, sh)
-            self._py = jax.device_put(self._py, sh)
+            self._px = jax.device_put(jnp.asarray(xs.reshape(-1)), sh)
+            self._py = jax.device_put(jnp.asarray(ys.reshape(-1)), sh)
             self._stages = None
         self.reset_accumulation()
 
@@ -229,6 +278,7 @@ class Renderer:
             self.accum = jnp.zeros((self.height, self.width, 3), jnp.float32)
         self.total_samples = 0
         self.rays_total = jnp.zeros((), jnp.int32)
+        self._compaction_plan = None
 
     # -- adaptive controller (≙ Renderer::OnUpdate) ------------------------
     def on_update(self, dt: float) -> None:
@@ -286,21 +336,50 @@ class Renderer:
             else:
                 state = _init_state_jit(self._px, self._py, self.width,
                                         jnp.uint32(self.total_samples))
-                for _ in range(samples):
+                n_full = self.width * self.height
+                # compaction plan from the previous step's statistics: any
+                # host readback mid-pipeline costs a ~30 ms sync on this
+                # platform, so live counts are fetched ONCE per render()
+                # (below) and drive the NEXT step's size classes with a 2x
+                # safety margin (overflowing lanes would be path-truncated;
+                # margin + monotone path death make that practically never)
+                plan = self._compaction_plan
+                alive_obs = []
+                for si in range(samples):
                     carry = _raygen_jit(self._px, self._py, self.width,
                                         self.height, inv_view, inv_proj,
                                         state, self.settings)
+                    full = carry
+                    perm = None
+                    cur_n = n_full
                     for bounce in range(self.settings.bounce_count):
-                        carry, any_alive = _bounce_jit(self.ds, self.tex,
-                                                       self.accel, carry,
-                                                       self.settings)
-                        # early-exit costs one device sync; only worth
-                        # checking once bounces have had a chance to die off
-                        if bounce >= 2 and not bool(any_alive):
-                            break
+                        carry, alive_count = _bounce_jit(
+                            self.ds, self.tex, self.accel, carry,
+                            self.settings, bounce > 0)
+                        if si == 0:
+                            alive_obs.append(alive_count)
+                        k = (plan[bounce]
+                             if plan and bounce < len(plan) else None)
+                        if (k is not None and k <= cur_n // 2
+                                and bounce < self.settings.bounce_count - 1):
+                            if perm is not None:
+                                full = _scatter_jit(full, carry, perm)
+                            else:
+                                full = carry
+                            carry, perm = _compact_jit(full, k)
+                            cur_n = k
+                    if perm is not None:
+                        full = _scatter_jit(full, carry, perm)
+                    else:
+                        full = carry
                     self.accum, self.rays_total = _accumulate_jit(
-                        carry, self.accum, self.rays_total)
-                    state = carry.state
+                        full, self.accum, self.rays_total, self._film_perm)
+                    state = full.state
+                if alive_obs:
+                    counts = [int(c) for c in alive_obs]   # one sync point
+                    self._compaction_plan = [
+                        _size_class(2 * c) if c > 0 else 1024
+                        for c in counts]
         self.total_samples += samples
         Stats.add_stat("Total Samples", self.total_samples)
         return self.total_samples

@@ -93,13 +93,14 @@ def test_refit_tracks_motion():
 
 def test_packet_bvh_build_structure():
     verts, tri_idx = _random_tris(500)
-    pbvh = jax.jit(build_packet_bvh)(verts, tri_idx)
-    n_leaves = pbvh.tris.shape[0]
+    pbvh = build_packet_bvh(verts, tri_idx)
+    n_leaves = pbvh.pages.shape[0]
     assert pbvh.n_top == 2 * n_leaves - 1
-    assert pbvh.tris.shape[2] == 128
+    b = pbvh.block
+    assert pbvh.pages.shape[1:] == (8, 7 * b)
     # triangle ids cover all input triangles exactly once (padding = -1)
     ids = np.asarray(jax.lax.bitcast_convert_type(
-        pbvh.tris[..., 9], jnp.int32)).ravel()
+        pbvh.pages[:, 0, 6 * b:7 * b], jnp.int32)).ravel()
     valid = ids[ids >= 0]
     assert sorted(valid) == list(range(500))
     # root AABB covers all vertices

@@ -145,3 +145,36 @@ def test_production_renderer_sharded(default_setup):
     assert np.isfinite(img).all()
     # decorrelated seeds → statistical agreement, not bit equality
     assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-9) < 0.2
+
+
+def test_compaction_bit_identical(default_setup):
+    """The renderer's wavefront compaction (live-lane gather into smaller
+    size classes) must not change results at all: dead lanes neither
+    consume RNG nor contribute radiance."""
+    from pt.run import renderer as R
+    scene, _, _, _ = default_setup
+    st = PathTracingSettings(sample_count=1, bounce_count=5, backend="brute")
+
+    r = R.Renderer(st)
+    r.set_scene(scene)
+    r.on_resize(48, 48)                # 2304 lanes → compacts to 1024
+    r.render(2)                        # first call observes counts
+    r.render(2)                        # second call compacts by plan
+    assert r._compaction_plan is not None
+    assert min(r._compaction_plan) <= 1152, "plan should trigger compaction"
+    with_compact = np.asarray(r.accum)
+
+    # disable compaction by making the size class huge
+    orig = R._size_class
+    R._size_class = lambda n, minimum=1024: 1 << 30
+    try:
+        r2 = R.Renderer(st)
+        r2.set_scene(scene)
+        r2.on_resize(48, 48)
+        r2.render(2)
+        r2.render(2)
+        without = np.asarray(r2.accum)
+    finally:
+        R._size_class = orig
+
+    np.testing.assert_array_equal(with_compact, without)

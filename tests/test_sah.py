@@ -60,10 +60,10 @@ def test_sah_packet_bvh_matches_brute():
     wpos = np.asarray(world_vertices(ds)[0])
     pbvh = build_packet_bvh_sah(wpos, np.asarray(ds.tri_idx))
     assert pbvh is not None
-    # ids cover every triangle exactly once
     import jax
+    b = pbvh.block
     ids = np.asarray(jax.lax.bitcast_convert_type(
-        pbvh.tris[..., 9], jnp.int32)).ravel()
+        pbvh.pages[:, 0, 6 * b:7 * b], jnp.int32)).ravel()
     valid = np.sort(ids[ids >= 0])
     assert (valid == np.arange(ds.tri_idx.shape[0])).all()
     # root covers the scene
