@@ -211,20 +211,55 @@ class Renderer:
 
     # -- scene management (≙ Renderer::UpdateSceneData, Renderer.cpp:238) --
     def set_scene(self, scene: Scene,
-                  tex: Optional[DeviceTextures] = None) -> None:
+                  tex: Optional[DeviceTextures] = None,
+                  stream_textures: bool = True) -> None:
+        """Upload a new scene. When it has textures and `stream_textures`
+        is set, rendering starts immediately with the placeholder defaults
+        while a loader thread decodes the real textures; they swap in when
+        ready and accumulation restarts (≙ the TextureUploader streaming
+        pipeline with placeholder-then-swap texture table,
+        TextureUploader.cpp:272-383, Renderer.cpp:127-173)."""
+        import threading
         self.scene = scene
         with Timer("Mesh Upload"):
             self.ds = flatten_scene(scene)
+        self._pending_tex = None
         if tex is not None:
             self.tex = tex
         elif scene.textures:
             from pt.scene.textures import build_scene_textures
-            with Timer("Texture Upload"):
-                self.tex = build_scene_textures(scene)
+            if stream_textures:
+                self.tex = default_texture_pool()
+
+                def load() -> None:
+                    pool = build_scene_textures(scene)
+                    self._pending_tex = pool
+
+                self._tex_thread = threading.Thread(target=load, daemon=True)
+                self._tex_thread.start()
+            else:
+                with Timer("Texture Upload"):
+                    self.tex = build_scene_textures(scene)
         else:
             self.tex = default_texture_pool()
         self._accel_dirty = True
         self.reset_accumulation()
+
+    def _poll_textures(self) -> None:
+        """Swap in streamed textures once the loader thread finishes
+        (≙ Renderer::UpdateTexture acquire + descriptor update,
+        Renderer.cpp:441-470)."""
+        pool = getattr(self, "_pending_tex", None)
+        if pool is not None:
+            self.tex = pool
+            self._pending_tex = None
+            self.reset_accumulation()
+
+    def wait_for_textures(self) -> None:
+        t = getattr(self, "_tex_thread", None)
+        if t is not None and t.is_alive():
+            t.join()
+        self._poll_textures()
 
     def update_scene_data(self, scene_changed: bool = False) -> None:
         """Per-frame: refresh animated transforms + rebuild accel; reset
@@ -323,6 +358,7 @@ class Renderer:
         Renderer.cpp:1659-1809, without the swapchain parts)."""
         if self.ds is None or not self.width:
             raise RuntimeError("scene or film not initialized")
+        self._poll_textures()
         self._ensure_accel()
         cam = self.scene.cameras[0]
         cam.on_resize(self.width, self.height)
@@ -414,3 +450,22 @@ class Renderer:
     @property
     def rays_traced(self) -> int:
         return int(self.rays_total) if self.rays_total is not None else 0
+
+    # -- checkpoint / resume (an upgrade over the reference, which loses
+    # -- progress on a crash mid-render; SURVEY §5 recommends this) --------
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the accumulation film + counters; a resumed render
+        continues the exact RNG stream (seeding is (pixel, total_samples))."""
+        np.savez(path,
+                 accum=np.asarray(self.accum),
+                 total_samples=self.total_samples,
+                 rays_total=int(self.rays_total),
+                 width=self.width, height=self.height)
+
+    def load_checkpoint(self, path: str) -> None:
+        data = np.load(path)
+        w, h = int(data["width"]), int(data["height"])
+        self.on_resize(w, h)
+        self.accum = jnp.asarray(data["accum"])
+        self.total_samples = int(data["total_samples"])
+        self.rays_total = jnp.asarray(int(data["rays_total"]), jnp.int32)

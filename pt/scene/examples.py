@@ -266,6 +266,43 @@ def create_heightfield_scene(builder: SceneBuilder, n: int = 224) -> None:
                                    (0.0, 0.25, 1.0)))
 
 
+def create_reuse_mesh_scene(builder: SceneBuilder) -> None:
+    """Grid of instances sharing ONE cube model with a cubemap skybox
+    (≙ the "Reuse Mesh" catalog entry, ExampleScenes.cpp:248 — exercises
+    instancing/geometry reuse and the cube-skybox miss path)."""
+    import numpy as _np
+    cube_geos = add_cube(builder)
+    mat = builder.add_material("reuse", MetallicRoughnessMaterial(
+        color=(0.7, 0.7, 0.75, 1.0), roughness=0.35, metalness=0.8))
+    model = builder.add_model([MeshInfo(g, mat) for g in cube_geos])
+    root = builder.add_scene_node(0, _np.eye(4))
+    for iy in range(4):
+        for ix in range(4):
+            node = builder.add_scene_node(
+                root, _translate(ix * 3.0 - 4.5, iy * 3.0 - 4.5, 0.0)
+                @ _rotate_y(ix * 20 + iy * 10) @ _scale(0.8))
+            builder.add_model_instance(model, node)
+    # procedural gradient cubemap (6, H, W, 3)
+    faces = _np.zeros((6, 16, 16, 3), _np.float32)
+    tints = _np.asarray([[1, .6, .4], [.4, .6, 1], [.9, .9, .5],
+                         [.3, .3, .35], [.6, 1, .6], [.5, .4, .6]])
+    grad = _np.linspace(0.4, 1.0, 16)[:, None]
+    for f in range(6):
+        faces[f] = tints[f] * grad[..., None]
+    from pt.scene.types import Skybox, SkyboxKind
+    builder.set_skybox(Skybox(kind=SkyboxKind.CUBE, image=faces))
+    builder.set_directional_light(DirectionalLight(color=(2.0, 2.0, 1.9),
+                                                   direction=(0.3, 0.8, 0.4)))
+    builder.add_camera(InputCamera(45.0, 100.0, 0.1, (0.0, 0.0, -14.0),
+                                   (0.0, 0.0, 1.0)))
+
+
+def make_reuse_mesh_scene() -> Scene:
+    b = SceneBuilder("Reuse Mesh")
+    create_reuse_mesh_scene(b)
+    return b.create_scene()
+
+
 def make_heightfield_scene(n: int = 224) -> Scene:
     b = SceneBuilder("Heightfield")
     create_heightfield_scene(b, n)
@@ -290,4 +327,5 @@ TEST_SCENES: Dict[str, Callable[[], Scene]] = {
     "Default": make_default_scene,
     "Roughness Test Cubes": make_roughness_test_scene,
     "Heightfield": make_heightfield_scene,
+    "Reuse Mesh": make_reuse_mesh_scene,
 }

@@ -117,6 +117,8 @@ class SceneManager:
             examples.create_roughness_test_scene)
         group["Heightfield"] = CustomSceneLoader(
             examples.create_heightfield_scene)
+        group["Reuse Mesh"] = CustomSceneLoader(
+            examples.create_reuse_mesh_scene)
         self.discover_khronos_scenes()
         from pt.scene.catalog import add_high_quality_scenes
         add_high_quality_scenes(self)

@@ -160,3 +160,67 @@ def test_debug_modes_render():
                            images[DebugRenderMode.PRIMITIVE])
     assert not np.allclose(images[DebugRenderMode.COLOR],
                            images[DebugRenderMode.NORMAL])
+
+
+def test_checkpoint_resume(tmp_path):
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.examples import make_default_scene
+
+    st = PathTracingSettings(sample_count=1, bounce_count=3, backend="brute")
+    r = Renderer(st)
+    r.set_scene(make_default_scene())
+    r.on_resize(24, 24)
+    r.render(2)
+    path = str(tmp_path / "ckpt.npz")
+    r.save_checkpoint(path)
+    r.render(2)
+    full = np.asarray(r.accum)
+
+    r2 = Renderer(st)
+    r2.set_scene(make_default_scene())
+    r2.load_checkpoint(path)
+    assert r2.total_samples == 2
+    r2.render(2)
+    # resumed render continues the exact RNG stream → bit-identical film
+    np.testing.assert_array_equal(np.asarray(r2.accum), full)
+
+
+def test_texture_streaming_placeholder_swap():
+    import io
+    import time as _time
+    from PIL import Image as PILImage
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.builder import SceneBuilder
+    from pt.scene.examples import _add_quad_list
+    from pt.scene.types import (Geometry, MeshInfo,
+                                MetallicRoughnessMaterial, SCENE_TEXTURE_OFFSET,
+                                TextureInfo, TextureType)
+
+    buf = io.BytesIO()
+    PILImage.fromarray(np.full((8, 8, 3), 200, np.uint8)).save(buf, "PNG")
+    b = SceneBuilder("stream")
+    tex_idx = b.add_texture(TextureInfo(name="c", type=TextureType.COLOR,
+                                        data=buf.getvalue(), is_srgb=True))
+    assert tex_idx == SCENE_TEXTURE_OFFSET
+    quad = [((0, 0, 2), (0, 0), (0, 0, -1), (1, 0, 0), (0, 1, 0)),
+            ((1, 0, 2), (1, 0), (0, 0, -1), (1, 0, 0), (0, 1, 0)),
+            ((1, 1, 2), (1, 1), (0, 0, -1), (1, 0, 0), (0, 1, 0)),
+            ((0, 1, 2), (0, 1), (0, 0, -1), (1, 0, 0), (0, 1, 0))]
+    geo = _add_quad_list(b, quad)
+    mid = b.add_material("m", MetallicRoughnessMaterial(color_idx=tex_idx))
+    model = b.add_model([MeshInfo(geo, mid)])
+    node = b.add_scene_node(0, np.eye(4))
+    b.add_model_instance(model, node)
+    scene = b.create_scene()
+
+    r = Renderer(PathTracingSettings(1, 2, backend="brute"))
+    r.set_scene(scene, stream_textures=True)
+    # placeholder pool active immediately (defaults only = 9 slots)
+    assert r.tex.count == 9
+    r.wait_for_textures()
+    assert r.tex.count == 10           # real pool swapped in
+    r.on_resize(8, 8)
+    r.render(1)                        # renders with the streamed texture
+    assert np.isfinite(np.asarray(r.accum)).all()
