@@ -36,6 +36,7 @@ class OutputInfo(NamedTuple):
     height: int
     framerate: float = 30.0
     format: str = "png"          # png | jpg | tga | hdr | mp4
+    sequence: bool = False       # image formats with >1 frame → numbered
 
 
 def write_radiance_hdr(path: str, rgb: np.ndarray) -> None:
@@ -188,7 +189,7 @@ class OutputSaver:
 
     @staticmethod
     def _is_video_sequence(info: OutputInfo) -> bool:
-        return False
+        return info.sequence
 
     def _write_video_frame(self, info: OutputInfo, frame: np.ndarray) -> None:
         if self._ffmpeg is not None:

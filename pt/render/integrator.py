@@ -150,6 +150,17 @@ def prepare_accel(ds: DeviceScene, settings: PathTracingSettings) -> Accel:
                  bvh=bvh)
 
 
+def _aabb_exit_t(lo, hi, origin, direction):
+    """Distance at which each ray exits the [lo, hi] box (0 if it never
+    enters in front of the origin)."""
+    inv = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                          jnp.where(direction < 0, -1e-12, 1e-12), direction)
+    t0 = (lo - origin) * inv
+    t1 = (hi - origin) * inv
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return jnp.maximum(t_far, 0.0)
+
+
 def _finite_or_zero(radiance):
     finite = jnp.all(jnp.isfinite(radiance), axis=-1, keepdims=True)
     return jnp.where(finite, radiance, 0.0)
@@ -599,27 +610,36 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     radiance = radiance + jnp.where(active[..., None],
                                     throughput * payload["emissive"], 0.0)
 
-    # NEE (raygen.rgen:81-83)
+    # NEE (raygen.rgen:81-83). Shadow distances are clamped to the scene
+    # AABB exit: no occluder exists outside the scene, and the directional
+    # light's 1e5 sentinel distance otherwise forces unoccluded rays to
+    # walk every overlapping BVH leaf (occlusion cannot t-prune).
     shadow_dir = -_normalize(payload["light_dir"])
+    if isinstance(accel.bvh, PacketBVH):
+        light_dist = jnp.minimum(
+            payload["light_dist"],
+            _aabb_exit_t(accel.bvh.top_lo[0], accel.bvh.top_hi[0],
+                         payload["next_origin"], shadow_dir) + 1e-3)
+    else:
+        light_dist = payload["light_dist"]
     if ds.has_alpha:
         occluded = trace_occluded_alpha(ds, tex, accel,
                                         payload["next_origin"], shadow_dir,
-                                        payload["light_dist"])
+                                        light_dist)
     elif sort_packets:
         shadow_live = active & (payload["light_pdf"] > 0.0)
         so_s = jnp.where(shadow_live[perm][:, None],
                          payload["next_origin"][perm], outside)
         sd_s = jnp.where(shadow_live[perm][:, None], shadow_dir[perm],
                          jnp.asarray([1.0, 0.0, 0.0]))
-        sdist_s = jnp.where(shadow_live[perm], payload["light_dist"][perm],
-                            TMIN)
+        sdist_s = jnp.where(shadow_live[perm], light_dist[perm], TMIN)
         occ_s = trace_occluded(accel.bvh, accel.wpos, ds.tri_idx,
                                so_s, sd_s, sdist_s)
         occluded = occ_s[inv]
     else:
         occluded = trace_occluded(accel.bvh, accel.wpos, ds.tri_idx,
                                   payload["next_origin"], shadow_dir,
-                                  payload["light_dist"])
+                                  light_dist)
     rays = rays + jnp.sum((active & (payload["light_pdf"] > 0.0))
                           .astype(jnp.int32))
     nee_ok = active & (payload["light_pdf"] > 0.0) & ~occluded

@@ -224,3 +224,40 @@ def test_texture_streaming_placeholder_swap():
     r.on_resize(8, 8)
     r.render(1)                        # renders with the streamed texture
     assert np.isfinite(np.asarray(r.accum)).all()
+
+
+def test_offline_animation_frames(tmp_path):
+    """Multi-frame offline render of an animated scene: deterministic
+    fixed-dt stepping produces distinct frames (≙ the offline video flow,
+    Application.cpp:333-335 + Renderer.cpp:1785-1807)."""
+    import json as _json
+    from tests.test_gltf import _tri_gltf
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.offline import OfflineRenderer, RenderSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.builder import SceneBuilder
+    from pt.scene.gltf import import_gltf
+    from pt.core.camera import InputCamera
+
+    path = _tri_gltf(tmp_path)
+    b = SceneBuilder("anim")
+    import_gltf(b, path)
+    b.add_camera(InputCamera(45, 0.1, 100, (0.5, 0.5, -8.0), (0, 0, 1)))
+    scene = b.create_scene()
+    assert scene.graph.has_animations
+
+    r = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
+                                     backend="brute"))
+    r.set_scene(scene)
+    out = str(tmp_path / "anim.png")
+    frames = OfflineRenderer(r).render(RenderSettings(
+        output=OutputInfo(out, 16, 16, framerate=2.0, format="png"),
+        frame_count=3, max_sample_count=2, samples_per_step=2))
+    assert frames == 3
+    import pathlib
+    files = sorted(pathlib.Path(tmp_path).glob("anim_*.png"))
+    assert len(files) == 3   # numbered frame sequence
+    imgs = [np.asarray(__import__("PIL.Image", fromlist=["Image"])
+                       .open(f)) for f in files]
+    # animation moves the quad → frames differ
+    assert not np.array_equal(imgs[0], imgs[-1])
