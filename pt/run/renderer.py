@@ -208,6 +208,7 @@ class Renderer:
         self._px = self._py = None
         self._accel_dirty = True
         self._compaction_plan = None
+        self._plan_age = 0
 
     # -- scene management (≙ Renderer::UpdateSceneData, Renderer.cpp:238) --
     def set_scene(self, scene: Scene,
@@ -314,6 +315,7 @@ class Renderer:
         self.total_samples = 0
         self.rays_total = jnp.zeros((), jnp.int32)
         self._compaction_plan = None
+        self._plan_age = 0
 
     # -- adaptive controller (≙ Renderer::OnUpdate) ------------------------
     def on_update(self, dt: float) -> None:
@@ -380,6 +382,10 @@ class Renderer:
                 # safety margin (overflowing lanes would be path-truncated;
                 # margin + monotone path death make that practically never)
                 plan = self._compaction_plan
+                # replanning costs one ~30 ms host sync — do it only when
+                # the plan is missing or stale
+                observe = (self._compaction_plan is None
+                           or self._plan_age >= 16)
                 alive_obs = []
                 for si in range(samples):
                     carry = _raygen_jit(self._px, self._py, self.width,
@@ -392,7 +398,7 @@ class Renderer:
                         carry, alive_count = _bounce_jit(
                             self.ds, self.tex, self.accel, carry,
                             self.settings, bounce > 0)
-                        if si == 0:
+                        if si == 0 and observe:
                             alive_obs.append(alive_count)
                         k = (plan[bounce]
                              if plan and bounce < len(plan) else None)
@@ -412,10 +418,14 @@ class Renderer:
                         full, self.accum, self.rays_total, self._film_perm)
                     state = full.state
                 if alive_obs:
-                    counts = [int(c) for c in alive_obs]   # one sync point
+                    # single batched fetch = one sync
+                    counts = np.asarray(jnp.stack(alive_obs))
                     self._compaction_plan = [
-                        _size_class(2 * c) if c > 0 else 1024
+                        _size_class(int(2 * c)) if c > 0 else 1024
                         for c in counts]
+                    self._plan_age = 0
+                else:
+                    self._plan_age += 1
         self.total_samples += samples
         Stats.add_stat("Total Samples", self.total_samples)
         return self.total_samples
