@@ -167,7 +167,11 @@ def cmd_debug(args) -> int:
 
 def cmd_stats(args) -> int:
     from pt.core.stats import Stats
+    from pt.render.integrator import PathTracingSettings
     app = _load_app(args, 256, 256)
+    # diagnostic command: favor fast startup over kernel throughput
+    app.renderer.set_settings(PathTracingSettings(
+        sample_count=1, bounce_count=3, backend="brute"))
     app.run(target_frames=2)
     for key, value in sorted(Stats.get_stats().items()):
         print(f"{key}: {value}")

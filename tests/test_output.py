@@ -261,3 +261,16 @@ def test_offline_animation_frames(tmp_path):
                        .open(f)) for f in files]
     # animation moves the quad → frames differ
     assert not np.array_equal(imgs[0], imgs[-1])
+
+
+def test_cli_render_and_debug_smoke(tmp_path):
+    from pt.run.cli import main
+    out = str(tmp_path / "cli.png")
+    assert main(["render", "--scene", "Test Scenes/Default", "--out", out,
+                 "--size", "16x16", "--spp", "2", "--bounces", "2",
+                 "--backend", "brute"]) == 0
+    assert os.path.exists(out)
+    dbg = str(tmp_path / "dbg.png")
+    assert main(["debug", "--scene", "Test Scenes/Default", "--mode",
+                 "normal", "--out", dbg, "--size", "16x16"]) == 0
+    assert os.path.exists(dbg)
