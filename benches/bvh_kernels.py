@@ -1,0 +1,80 @@
+"""TPU micro-benchmark: packet vs sub-packet BVH traversal kernels.
+
+A/B harness for the Pallas closest-hit kernels on an incoherent ray
+workload (the integrator's real secondary-bounce distribution), with and
+without the coherence sort. Checks correctness against the brute oracle
+first, then times `REPS` chained on-device traversals per variant.
+
+Run on a TPU host: `python benches/bvh_kernels.py`.
+
+Measured 2026-08-16 (v5e, heightfield 224 -> 99k tris, 65k rays, two
+consistent runs):
+  1024-packet sorted   ~105 ms    sub-packet sorted   ~83 ms  (1.27x)
+  1024-packet unsorted ~323 ms    sub-packet unsorted ~209 ms (1.55x)
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pt  # noqa: F401  (enables the persistent compile cache)
+from pt.accel.intersect import intersect_brute
+from pt.accel.pallas_bvh import (build_packet_bvh_sah, packet_closest,
+                                 packet_closest_sub)
+from pt.render.integrator import _coherence_keys
+from pt.scene.examples import make_heightfield_scene
+from pt.scene.flatten import flatten_scene, world_vertices
+
+N_RAYS = 65536
+REPS = 10
+
+
+def main():
+    scene = make_heightfield_scene(224)
+    ds = flatten_scene(scene)
+    wpos = jax.jit(lambda d: world_vertices(d)[0])(ds)
+    sah = build_packet_bvh_sah(np.asarray(wpos), np.asarray(ds.tri_idx))
+    assert sah is not None, "native SAH builder unavailable"
+
+    rng = np.random.default_rng(0)
+    o_np = rng.uniform(-9, 9, (N_RAYS, 3)).astype(np.float32)
+    o_np[:, 1] = rng.uniform(-3, 0, (N_RAYS,))
+    d_np = rng.normal(size=(N_RAYS, 3))
+    d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o_np), jnp.asarray(d_np.astype(np.float32))
+    keys = _coherence_keys(sah, o, d, jnp.ones((N_RAYS,), bool))
+    perm = jnp.argsort(keys)
+    o_s, d_s = o[perm], d[perm]
+
+    # correctness vs oracle before timing anything
+    hit = packet_closest_sub(sah, o_s, d_s, 1e4)
+    jax.block_until_ready(hit.t)
+    m = 4096
+    hb = jax.jit(intersect_brute)(wpos, ds.tri_idx, o_s[:m], d_s[:m])
+    bad = int((np.abs(np.asarray(hb.t) - np.asarray(hit.t)[:m]) > 1e-3).sum())
+    print(f"subpacket mismatches vs oracle: {bad}/{m}", flush=True)
+
+    def timed(fn, o, d, label):
+        @jax.jit
+        def loop(pbvh, o, d):
+            def body(i, acc):
+                hit = fn(pbvh, o, d, acc)
+                return hit.t * 0 + 1e4      # chain: dependence, fresh tmax
+            return jax.lax.fori_loop(0, REPS, body,
+                                     jnp.full((N_RAYS,), 1e4))
+        jax.block_until_ready(loop(sah, o, d))          # warmup/compile
+        t0 = time.time()
+        jax.block_until_ready(loop(sah, o, d))
+        dt = (time.time() - t0) / REPS * 1000
+        mrays = N_RAYS / (dt * 1e3)
+        print(f"{label}: {dt:.2f} ms  ({mrays:.1f} Mrays/s)", flush=True)
+
+    timed(packet_closest, o_s, d_s, "1024-packet sorted incoherent")
+    timed(packet_closest_sub, o_s, d_s, "sub-packet  sorted incoherent")
+    timed(packet_closest, o, d, "1024-packet unsorted")
+    timed(packet_closest_sub, o, d, "sub-packet  unsorted")
+
+
+if __name__ == "__main__":
+    main()

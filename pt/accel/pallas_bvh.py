@@ -47,7 +47,10 @@ from pt.accel.intersect import Hit
 from pt.accel.lbvh import _topology, morton_codes
 
 RAYS_PER_PACKET = 1024
-TRIS_PER_BLOCK = 64         # B: triangles per leaf block
+TRIS_PER_BLOCK = 128        # B: triangles per leaf block. Must be a
+                            # multiple of 128: the leaf-page DMA slices
+                            # HBM with last dim 7*B, and Mosaic requires
+                            # 128-lane-aligned slice shapes.
 MAX_TOP_LEAVES = 2048       # SMEM budget: 2*2048-1 nodes x 8 scalars ~128 KiB
 MAX_TOP_NODES = 2 * MAX_TOP_LEAVES - 1
 
@@ -146,6 +149,7 @@ def build_packet_bvh(positions: jax.Array, tri_idx: jax.Array,
     """Morton-block build — fully jittable (device sort + traced Woop-page
     packing; ≙ the ALLOW_UPDATE animated-BLAS path,
     AccelerationStructure.cpp:251-257)."""
+    block = max(128, -(-block // 128) * 128)   # lane-aligned page slices
     t_count = tri_idx.shape[0]
     v0 = positions[tri_idx[:, 0]]
     v1 = positions[tri_idx[:, 1]]
@@ -191,6 +195,7 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     """
     from pt.accel.native import build_sah
 
+    block = max(128, -(-block // 128) * 128)   # lane-aligned page slices
     positions_np = np.asarray(positions_np, np.float32)
     tri_idx_np = np.asarray(tri_idx_np, np.int64)
     v0 = positions_np[tri_idx_np[:, 0]]
@@ -486,6 +491,161 @@ def _make_closest_kernel_ordered(n_top: int, block: int, tmin: float):
     return kernel
 
 
+def _make_closest_kernel_subpacket(n_top: int, block: int, tmin: float):
+    """Sub-packet ordered traversal: the 1024-ray program is split into 8
+    independent 128-ray sub-packets (lane slices), each with its own SMEM
+    stack and cursor. Diffuse-bounce rays fan over the hemisphere, so a
+    1024-wide packet visits near the union of all leaves; after the
+    integrator's octant+Morton sort, 128 consecutive rays form a much
+    narrower cone — sub-packets turn that sorting into traversal savings.
+    Sub-packets step in lockstep rounds; finished ones idle."""
+
+    SUB = 8
+    LANES = 1024 // SUB
+
+    def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
+               miss_ref, leaf_ref, pages_ref, rays_ref,
+               out_ref, leaf_vmem, dma_sem, stack):
+        rays_mat = rays_ref[:]
+        ox, oy, oz = rays_mat[0:1], rays_mat[1:2], rays_mat[2:3]
+        dx, dy, dz = rays_mat[4:5], rays_mat[5:6], rays_mat[6:7]
+        tmax = rays_mat[7:8]
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+        def slab_sub(c, p, t_limit_s):
+            s = slice(p * LANES, (p + 1) * LANES)
+            t0x = (lox_ref[c] - ox[:, s]) * ix[:, s]
+            t1x = (hix_ref[c] - ox[:, s]) * ix[:, s]
+            t0y = (loy_ref[c] - oy[:, s]) * iy[:, s]
+            t1y = (hiy_ref[c] - oy[:, s]) * iy[:, s]
+            t0z = (loz_ref[c] - oz[:, s]) * iz[:, s]
+            t1z = (hiz_ref[c] - oz[:, s]) * iz[:, s]
+            tnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                            jnp.minimum(t0y, t1y)),
+                                jnp.minimum(t0z, t1z))
+            tfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            hit = (tnear <= tfar) & (tfar > 0.0) & (tnear < t_limit_s)
+            return hit, tnear
+
+        def make_step(p):
+            s = slice(p * LANES, (p + 1) * LANES)
+            base = p * 64                       # stack segment for p
+
+            def step(args):
+                sp, t_best, tri_best, u_best, v_best = args
+                sp = sp - 1
+                node = stack[base + sp]
+                t_b = t_best[:, s]
+                hit, _ = slab_sub(node, p, t_b)
+                any_hit = jnp.max(jnp.where(hit, 1, 0)) > 0
+                leaf = leaf_ref[node]
+                is_leaf = leaf >= 0
+
+                def do_leaf(args):
+                    sp, t_best, tri_best, u_best, v_best = args
+                    dma = pltpu.make_async_copy(
+                        pages_ref.at[leaf], leaf_vmem, dma_sem)
+                    dma.start()
+                    dma.wait()
+                    t_cand, u_c, v_c, ids = _leaf_intersect(
+                        leaf_vmem[:, :], rays_mat[:, s], tmin, t_best[:, s])
+                    t_min = jnp.min(t_cand, axis=0, keepdims=True)
+                    better = t_min < t_best[:, s]
+                    at_min = (t_cand == t_min) & (t_cand < 1e30)
+                    selm = lambda a: jnp.max(
+                        jnp.where(at_min, a, -jnp.inf), axis=0, keepdims=True)
+                    sel_id = jnp.max(jnp.where(at_min, ids, -1), axis=0,
+                                     keepdims=True)
+                    def upd(full, new):
+                        # static-offset splice (Mosaic has no
+                        # dynamic_update_slice; offsets are lane-tile
+                        # aligned multiples of 128)
+                        parts = ([full[:, : p * LANES]] if p else []) \
+                            + [new] \
+                            + ([full[:, (p + 1) * LANES:]]
+                               if p < SUB - 1 else [])
+                        return jnp.concatenate(parts, axis=1) \
+                            if len(parts) > 1 else new
+                    return (sp,
+                            upd(t_best, jnp.where(better, t_min, t_best[:, s])),
+                            upd(tri_best, jnp.where(better, sel_id,
+                                                    tri_best[:, s])),
+                            upd(u_best, jnp.where(better, selm(u_c),
+                                                  u_best[:, s])),
+                            upd(v_best, jnp.where(better, selm(v_c),
+                                                  v_best[:, s])))
+
+                def do_internal(args):
+                    sp, t_best, tri_best, u_best, v_best = args
+                    left = node + 1
+                    right = miss_ref[left]
+                    hit_l, tn_l = slab_sub(left, p, t_best[:, s])
+                    hit_r, tn_r = slab_sub(right, p, t_best[:, s])
+                    any_l = jnp.max(jnp.where(hit_l, 1, 0)) > 0
+                    any_r = jnp.max(jnp.where(hit_r, 1, 0)) > 0
+                    both = hit_l & hit_r
+                    votes_l = jnp.sum(jnp.where(both & (tn_l <= tn_r), 1, 0))
+                    votes = jnp.sum(jnp.where(both, 1, 0))
+                    near_is_left = jnp.where(votes > 0,
+                                             2 * votes_l >= votes, True)
+                    far_idx = jnp.where(near_is_left, right, left)
+                    near_idx = jnp.where(near_is_left, left, right)
+                    far_ok = jnp.where(near_is_left, any_r, any_l)
+                    near_ok = jnp.where(near_is_left, any_l, any_r)
+                    stack[base + sp] = far_idx
+                    sp = sp + jnp.where(far_ok, 1, 0)
+                    stack[base + sp] = near_idx
+                    sp = sp + jnp.where(near_ok, 1, 0)
+                    return sp, t_best, tri_best, u_best, v_best
+
+                args = (sp, t_best, tri_best, u_best, v_best)
+                return jax.lax.cond(
+                    any_hit,
+                    lambda a: jax.lax.cond(is_leaf, do_leaf, do_internal, a),
+                    lambda a: a, args)
+
+            return step
+
+        steps = [make_step(p) for p in range(SUB)]
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for p in range(1, SUB):
+                total = total + sps[p]
+            return total > 0
+
+        def body(state):
+            sps, t_best, tri_best, u_best, v_best = state
+            new_sps = []
+            for p in range(SUB):
+                args = (sps[p], t_best, tri_best, u_best, v_best)
+                args = jax.lax.cond(sps[p] > 0, steps[p], lambda a: a, args)
+                sp_p, t_best, tri_best, u_best, v_best = args
+                new_sps.append(sp_p)
+            return (tuple(new_sps), t_best, tri_best, u_best, v_best)
+
+        for p in range(SUB):
+            stack[p * 64] = jnp.int32(0)
+        init = (tuple(jnp.int32(1) for _ in range(SUB)),
+                tmax,
+                jnp.full((1, 1024), -1, jnp.int32),
+                jnp.zeros((1, 1024), jnp.float32),
+                jnp.zeros((1, 1024), jnp.float32))
+        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+        out_ref[:] = jnp.concatenate(
+            [t, jax.lax.bitcast_convert_type(tri, jnp.float32), u, v,
+             jnp.zeros((4, 1024), jnp.float32)], axis=0)
+
+    return kernel
+
+
 def _make_occluded_kernel(n_top: int, block: int, tmin: float):
     def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                miss_ref, leaf_ref, pages_ref, rays_ref,
@@ -631,3 +791,34 @@ def packet_occluded(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
       pbvh.top_miss, pbvh.top_leaf, pbvh.pages, rays_mat)
     occ = occ.reshape(p, 8, 1024)[:, 0, :].reshape(-1)[:n]
     return occ > 0
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_closest_sub(pbvh: PacketBVH, origins, dirs, tmax,
+                       tmin=1e-5) -> Hit:
+    """Sub-packet (8x128) closest-hit variant — see
+    _make_closest_kernel_subpacket."""
+    n = origins.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays_mat, p = _pack_inputs(origins, dirs, tmax, tmin, n)
+
+    kernel = _make_closest_kernel_subpacket(pbvh.n_top, pbvh.block, tmin)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 8 + [hbm, _mat_spec()],
+        out_specs=_mat_spec(),
+        out_shape=jax.ShapeDtypeStruct((p * 8, 1024), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, _PAGE_GROUPS * pbvh.block),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SMEM((512,), jnp.int32)],
+    )(pbvh.top_lo[:, 0], pbvh.top_lo[:, 1], pbvh.top_lo[:, 2],
+      pbvh.top_hi[:, 0], pbvh.top_hi[:, 1], pbvh.top_hi[:, 2],
+      pbvh.top_miss, pbvh.top_leaf, pbvh.pages, rays_mat)
+    out = out.reshape(p, 8, 1024)
+    pick = lambda r: out[:, r, :].reshape(-1)[:n]
+    return Hit(pick(0),
+               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               pick(2), pick(3))

