@@ -12,7 +12,11 @@ consistent runs):
   1024-packet sorted   ~105 ms    sub-packet sorted   ~83 ms  (1.27x)
   1024-packet unsorted ~323 ms    sub-packet unsorted ~209 ms (1.55x)
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -21,7 +25,8 @@ import jax.numpy as jnp
 import pt  # noqa: F401  (enables the persistent compile cache)
 from pt.accel.intersect import intersect_brute
 from pt.accel.pallas_bvh import (build_packet_bvh_sah, packet_closest,
-                                 packet_closest_sub)
+                                 packet_closest_sub, packet_occluded,
+                                 packet_occluded_sub)
 from pt.render.integrator import _coherence_keys
 from pt.scene.examples import make_heightfield_scene
 from pt.scene.flatten import flatten_scene, world_vertices
@@ -70,10 +75,41 @@ def main():
         mrays = N_RAYS / (dt * 1e3)
         print(f"{label}: {dt:.2f} ms  ({mrays:.1f} Mrays/s)", flush=True)
 
-    timed(packet_closest, o_s, d_s, "1024-packet sorted incoherent")
-    timed(packet_closest_sub, o_s, d_s, "sub-packet  sorted incoherent")
-    timed(packet_closest, o, d, "1024-packet unsorted")
-    timed(packet_closest_sub, o, d, "sub-packet  unsorted")
+    timed(packet_closest, o_s, d_s, "closest 1024-packet sorted")
+    timed(packet_closest_sub, o_s, d_s, "closest sub-packet  sorted")
+    timed(packet_closest, o, d, "closest 1024-packet unsorted")
+    timed(packet_closest_sub, o, d, "closest sub-packet  unsorted")
+
+    # occlusion: shadow-like rays from surface points toward one light
+    light = jnp.asarray([0.0, 8.0, 0.0])
+    hit_t = jnp.where(jnp.isfinite(hit.t) & (hit.t < 1e3), hit.t, 2.0)
+    sp = o_s + d_s * (hit_t[:, None] * 0.99)
+    to_l = light[None, :] - sp
+    dist = jnp.linalg.norm(to_l, axis=-1)
+    d_sh = to_l / dist[:, None]
+
+    occ_a = packet_occluded(sah, sp, d_sh, dist)
+    occ_b = packet_occluded_sub(sah, sp, d_sh, dist)
+    bad = int((np.asarray(occ_a) != np.asarray(occ_b)).sum())
+    print(f"occlusion sub-packet disagreements: {bad}/{N_RAYS}", flush=True)
+
+    def timed_occ(fn, label):
+        @jax.jit
+        def loop(pbvh, o, d, dist):
+            def body(i, acc):
+                occ = fn(pbvh, o, d, dist * jnp.minimum(acc[0] + 1.0, 1.0))
+                return acc * 0 + occ.astype(jnp.float32)
+            return jax.lax.fori_loop(0, REPS, body,
+                                     jnp.zeros((N_RAYS,), jnp.float32))
+        jax.block_until_ready(loop(sah, sp, d_sh, dist))
+        t0 = time.time()
+        jax.block_until_ready(loop(sah, sp, d_sh, dist))
+        dt = (time.time() - t0) / REPS * 1000
+        print(f"{label}: {dt:.2f} ms  ({N_RAYS / (dt * 1e3):.1f} Mrays/s)",
+              flush=True)
+
+    timed_occ(packet_occluded, "occluded 1024-packet shadow")
+    timed_occ(packet_occluded_sub, "occluded sub-packet  shadow")
 
 
 if __name__ == "__main__":

@@ -702,6 +702,100 @@ def _make_occluded_kernel(n_top: int, block: int, tmin: float):
     return kernel
 
 
+def _make_occluded_kernel_subpacket(n_top: int, block: int, tmin: float):
+    """Sub-packet occlusion: 8 independent 128-lane sub-packets walk the
+    threaded preorder with their own cursors. Finer-grained than the
+    monolithic kernel on both axes: a sub-packet only visits nodes its own
+    narrow cone touches, and it early-exits the moment its 128 lanes are
+    all occluded (vs all 1024)."""
+    SUB = 8
+    LANES = 1024 // SUB
+
+    def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
+               miss_ref, leaf_ref, pages_ref, rays_ref,
+               out_ref, leaf_vmem, dma_sem):
+        rays_mat = rays_ref[:]
+        ox, oy, oz = rays_mat[0:1], rays_mat[1:2], rays_mat[2:3]
+        dx, dy, dz = rays_mat[4:5], rays_mat[5:6], rays_mat[6:7]
+        dist = rays_mat[7:8]
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+        def splice(full, new, p):
+            parts = ([full[:, : p * LANES]] if p else []) \
+                + [new] \
+                + ([full[:, (p + 1) * LANES:]] if p < SUB - 1 else [])
+            return jnp.concatenate(parts, axis=1) if len(parts) > 1 else new
+
+        def make_step(p):
+            s = slice(p * LANES, (p + 1) * LANES)
+
+            def step(args):
+                cursor, occ = args
+                hit = _slab(lox_ref[cursor], loy_ref[cursor],
+                            loz_ref[cursor], hix_ref[cursor],
+                            hiy_ref[cursor], hiz_ref[cursor],
+                            ox[:, s], oy[:, s], oz[:, s],
+                            ix[:, s], iy[:, s], iz[:, s],
+                            dist[:, s]) & (occ[:, s] == 0)
+                miss = miss_ref[cursor]
+                leaf = leaf_ref[cursor]
+                any_hit = jnp.max(jnp.where(hit, 1, 0)) > 0
+                is_leaf = leaf >= 0
+
+                def do_leaf(occ):
+                    dma = pltpu.make_async_copy(
+                        pages_ref.at[leaf], leaf_vmem, dma_sem)
+                    dma.start()
+                    dma.wait()
+                    t_cand, _, _, _ = _leaf_intersect(
+                        leaf_vmem[:, :], rays_mat[:, s], tmin, dist[:, s])
+                    found = jnp.max(jnp.where(t_cand < 1e30, 1, 0),
+                                    axis=0, keepdims=True)
+                    return splice(occ, jnp.maximum(occ[:, s], found), p)
+
+                occ = jax.lax.cond(any_hit & is_leaf, do_leaf,
+                                   lambda o: o, occ)
+                all_occ = jnp.min(occ[:, s]) > 0
+                descend = any_hit & jnp.logical_not(is_leaf)
+                cursor = jnp.where(all_occ, n_top,
+                                   jnp.where(descend, cursor + 1, miss))
+                return cursor, occ
+
+            return step
+
+        steps = [make_step(p) for p in range(SUB)]
+
+        def cond(state):
+            curs = state[0]
+            live = jnp.where(curs[0] < n_top, 1, 0)
+            for p in range(1, SUB):
+                live = live + jnp.where(curs[p] < n_top, 1, 0)
+            return live > 0
+
+        def body(state):
+            curs, occ = state
+            new_curs = []
+            for p in range(SUB):
+                args = (curs[p], occ)
+                args = jax.lax.cond(curs[p] < n_top, steps[p],
+                                    lambda a: a, args)
+                c_p, occ = args
+                new_curs.append(c_p)
+            return (tuple(new_curs), occ)
+
+        init = (tuple(jnp.int32(0) for _ in range(SUB)),
+                jnp.zeros((1, 1024), jnp.int32))
+        _, occluded_i = jax.lax.while_loop(cond, body, init)
+        out_ref[:] = jnp.concatenate(
+            [occluded_i, jnp.zeros((7, 1024), jnp.int32)], axis=0)
+
+    return kernel
+
+
 def _smem_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -776,6 +870,32 @@ def packet_occluded(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
     rays_mat, p = _pack_inputs(origins, dirs, dist, tmin, n)
 
     kernel = _make_occluded_kernel(pbvh.n_top, pbvh.block, tmin)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 8 + [hbm, _mat_spec()],
+        out_specs=_mat_spec(),
+        out_shape=jax.ShapeDtypeStruct((p * 8, 1024), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, _PAGE_GROUPS * pbvh.block),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+    )(pbvh.top_lo[:, 0], pbvh.top_lo[:, 1], pbvh.top_lo[:, 2],
+      pbvh.top_hi[:, 0], pbvh.top_hi[:, 1], pbvh.top_hi[:, 2],
+      pbvh.top_miss, pbvh.top_leaf, pbvh.pages, rays_mat)
+    occ = occ.reshape(p, 8, 1024)[:, 0, :].reshape(-1)[:n]
+    return occ > 0
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_occluded_sub(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
+    """Sub-packet (8x128) occlusion variant — see
+    _make_occluded_kernel_subpacket."""
+    n = origins.shape[0]
+    dist = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (n,))
+    rays_mat, p = _pack_inputs(origins, dirs, dist, tmin, n)
+
+    kernel = _make_occluded_kernel_subpacket(pbvh.n_top, pbvh.block, tmin)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     occ = pl.pallas_call(
         kernel,
