@@ -7,10 +7,13 @@ first, then times `REPS` chained on-device traversals per variant.
 
 Run on a TPU host: `python benches/bvh_kernels.py`.
 
-Measured 2026-08-16 (v5e, heightfield 224 -> 99k tris, 65k rays, two
-consistent runs):
-  1024-packet sorted   ~105 ms    sub-packet sorted   ~83 ms  (1.27x)
-  1024-packet unsorted ~323 ms    sub-packet unsorted ~209 ms (1.55x)
+Measured 2026-08-16 (v5e, heightfield 224 -> 99k tris, 65k rays):
+  v1 monolithic  sorted ~105 ms   unsorted ~323 ms   (block=128, HIGHEST)
+  v2 sub-packet  sorted  ~83 ms   unsorted ~209 ms   (block=128, HIGHEST)
+  v3 full-vreg   sorted  ~72 ms   unsorted ~190 ms   (block=64, 3-pass)
+v3 = production: full-(8,128)-vreg sub-packets + lane-padded block-64
+pages + 3-bf16-pass matmul (the HIGHEST-precision matmul measured ~40%
+of v3 runtime; 3-pass keeps t within ~2^-16 relative).
 """
 import os
 import sys
@@ -25,8 +28,8 @@ import jax.numpy as jnp
 import pt  # noqa: F401  (enables the persistent compile cache)
 from pt.accel.intersect import intersect_brute
 from pt.accel.pallas_bvh import (build_packet_bvh_sah, packet_closest,
-                                 packet_closest_sub, packet_occluded,
-                                 packet_occluded_sub)
+                                 packet_closest_sub, packet_closest_v3,
+                                 packet_occluded, packet_occluded_sub)
 from pt.render.integrator import _coherence_keys
 from pt.scene.examples import make_heightfield_scene
 from pt.scene.flatten import flatten_scene, world_vertices
@@ -75,10 +78,12 @@ def main():
         mrays = N_RAYS / (dt * 1e3)
         print(f"{label}: {dt:.2f} ms  ({mrays:.1f} Mrays/s)", flush=True)
 
-    timed(packet_closest, o_s, d_s, "closest 1024-packet sorted")
-    timed(packet_closest_sub, o_s, d_s, "closest sub-packet  sorted")
-    timed(packet_closest, o, d, "closest 1024-packet unsorted")
-    timed(packet_closest_sub, o, d, "closest sub-packet  unsorted")
+    timed(packet_closest, o_s, d_s, "closest v1 monolithic sorted")
+    timed(packet_closest_sub, o_s, d_s, "closest v2 sub-packet sorted")
+    timed(packet_closest_v3, o_s, d_s, "closest v3 full-vreg  sorted")
+    timed(packet_closest, o, d, "closest v1 monolithic unsorted")
+    timed(packet_closest_sub, o, d, "closest v2 sub-packet unsorted")
+    timed(packet_closest_v3, o, d, "closest v3 full-vreg  unsorted")
 
     # occlusion: shadow-like rays from surface points toward one light
     light = jnp.asarray([0.0, 8.0, 0.0])

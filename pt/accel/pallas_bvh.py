@@ -47,16 +47,25 @@ from pt.accel.intersect import Hit
 from pt.accel.lbvh import _topology, morton_codes
 
 RAYS_PER_PACKET = 1024
-TRIS_PER_BLOCK = 128        # B: triangles per leaf block. Must be a
-                            # multiple of 128: the leaf-page DMA slices
-                            # HBM with last dim 7*B, and Mosaic requires
-                            # 128-lane-aligned slice shapes.
-MAX_TOP_LEAVES = 2048       # SMEM budget: 2*2048-1 nodes x 8 scalars ~128 KiB
+TRIS_PER_BLOCK = 64         # B: triangles per leaf block (multiple of 32;
+                            # pages are lane-padded to 128 for the DMA).
+                            # Small blocks win: the post-matmul per-pair
+                            # VPU work (~B*L/128 vregs x ~25 ops per leaf
+                            # visit) dominates traversal cost.
+MAX_TOP_LEAVES = 4096       # SMEM budget: 2*4096-1 nodes x 8 scalars ~256 KiB
+                            # (verified to compile on v5e Mosaic)
 MAX_TOP_NODES = 2 * MAX_TOP_LEAVES - 1
 
 # page column layout: six (8, B) operand groups then one id group (lanes)
 #   [o'x | o'y | o'z | d'x | d'y | d'z | ids]  -> width 7B
 _PAGE_GROUPS = 7
+
+
+def _page_cols(block: int) -> int:
+    """Lane-padded page width: 7*block rounded up to a 128 multiple
+    (Mosaic requires lane-aligned HBM DMA slice shapes)."""
+    cols = _PAGE_GROUPS * block
+    return cols + (-cols) % 128
 
 
 @jax.tree_util.register_dataclass
@@ -97,6 +106,11 @@ def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np):
     m_safe = xp.where(ok[:, None, None], m, eye)
     w = xp.where(ok[:, None, None], xp.linalg.inv(m_safe), 0.0)
     b = -xp.einsum("tij,tj->ti", w, v0)
+    # degenerate/padding triangles: W = 0 and b'z = 1e30 so the kernel's
+    # unguarded t = -o'z/d'z gives -inf (rejected by t > tmin) instead of
+    # the NaN that 0/0 would produce
+    b = xp.where(ok[:, None], b,
+                 xp.asarray([0.0, 0.0, 1e30], f64)[None])
     w = w.astype(xp.float32)                             # (T, 3, 3)
     b = b.astype(xp.float32)                             # (T, 3)
 
@@ -122,7 +136,14 @@ def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np):
     pages = page_cols.reshape(n_leaves, block, _PAGE_GROUPS, 8)
     pages = pages.transpose(0, 3, 2, 1) if xp is np else \
         jnp.transpose(pages, (0, 3, 2, 1))
-    return pages.reshape(n_leaves, 8, _PAGE_GROUPS * block)
+    pages = pages.reshape(n_leaves, 8, _PAGE_GROUPS * block)
+    # pad the last dim to a 128 multiple: Mosaic requires lane-aligned
+    # shapes for the per-leaf HBM DMA slice (pages_ref.at[leaf])
+    pad = _page_cols(block) - _PAGE_GROUPS * block
+    if pad:
+        pages = xp.concatenate(
+            [pages, xp.zeros((n_leaves, 8, pad), xp.float32)], axis=-1)
+    return pages
 
 
 def _finish_build(blo, bhi, n_leaves, pages, block):
@@ -149,7 +170,7 @@ def build_packet_bvh(positions: jax.Array, tri_idx: jax.Array,
     """Morton-block build — fully jittable (device sort + traced Woop-page
     packing; ≙ the ALLOW_UPDATE animated-BLAS path,
     AccelerationStructure.cpp:251-257)."""
-    block = max(128, -(-block // 128) * 128)   # lane-aligned page slices
+    block = max(32, -(-block // 32) * 32)   # page-group granularity
     t_count = tri_idx.shape[0]
     v0 = positions[tri_idx[:, 0]]
     v1 = positions[tri_idx[:, 1]]
@@ -195,7 +216,7 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     """
     from pt.accel.native import build_sah
 
-    block = max(128, -(-block // 128) * 128)   # lane-aligned page slices
+    block = max(32, -(-block // 32) * 32)   # page-group granularity
     positions_np = np.asarray(positions_np, np.float32)
     tri_idx_np = np.asarray(tri_idx_np, np.int64)
     v0 = positions_np[tri_idx_np[:, 0]]
@@ -270,31 +291,43 @@ def _slab(lox, loy, loz, hix, hiy, hiz, ox, oy, oz, ix, iy, iz, t_limit):
     return (tnear <= tfar) & (tfar > 0.0) & (tnear < t_limit)
 
 
-def _leaf_intersect(page, rays_mat, tmin, t_limit):
-    """MXU leaf test. page (8, 7B); rays_mat (8, 1024).
-    Returns (t (B,1024) inf-masked, u, v, ids (B,1))."""
-    b = page.shape[1] // _PAGE_GROUPS
+def _leaf_intersect(page, rays_mat, tmin, t_limit, block=None):
+    """MXU leaf test. page (8, >=7B) (lane-padded); rays_mat (8, L).
+    Returns (t (B,L) inf-masked, u, v, ids (B,1))."""
+    b = block if block is not None else page.shape[1] // _PAGE_GROUPS
     m = page[:, :6 * b]                                   # (8, 6B)
-    out = jax.lax.dot_general(m, rays_mat,
-                              dimension_numbers=(((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-    o_x = out[0 * b:1 * b]                                # (B, 1024)
+    # f32-accurate matmul in 3 bf16 MXU passes (vs 6 for
+    # Precision.HIGHEST, which measured ~40% of traversal time; Mosaic
+    # does not support Precision.HIGH): split both operands hi+lo and
+    # drop only the lo*lo term (~2^-16 relative error).
+    dot = lambda a, c: jax.lax.dot_general(
+        a, c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_hi = m.astype(jnp.bfloat16)
+    m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    r_hi = rays_mat.astype(jnp.bfloat16)
+    r_lo = (rays_mat - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = dot(m_hi, r_hi) + dot(m_hi, r_lo) + dot(m_lo, r_hi)
+    o_x = out[0 * b:1 * b]                                # (B, L)
     o_y = out[1 * b:2 * b]
     o_z = out[2 * b:3 * b]
     d_x = out[3 * b:4 * b]
     d_y = out[4 * b:5 * b]
     d_z = out[5 * b:6 * b]
-    inv_dz = jnp.where(jnp.abs(d_z) < 1e-12, 0.0,
-                       1.0 / jnp.where(d_z == 0.0, 1.0, d_z))
-    t = -o_z * inv_dz
+    # minimal per-pair op chain — this is the kernel's dominant VPU cost
+    # (B*L/1024 vregs per op). No divide guard: degenerate/padding rows
+    # are built with d'z = 0, b'z = 1e30 (see _woop_pages) so t = -inf;
+    # any NaN in u/v (0 * inf paths) fails the >= comparison and rejects.
+    t = -o_z / d_z
     u = o_x + t * d_x
     v = o_y + t * d_y
-    ok = ((jnp.abs(d_z) > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-          & (t > tmin) & (t < t_limit))
+    edge = jnp.minimum(jnp.minimum(u, v), 1.0 - (u + v))
+    tv = jnp.where(edge >= 0.0, t, jnp.inf)
+    tv = jnp.where(t > tmin, tv, jnp.inf)
+    tv = jnp.where(t < t_limit, tv, jnp.inf)
     ids = jax.lax.bitcast_convert_type(page[0:1, 6 * b:7 * b],
                                        jnp.int32).reshape(b, 1)
-    return jnp.where(ok, t, jnp.inf), u, v, ids
+    return tv, u, v, ids
 
 
 def _make_closest_kernel(n_top: int, block: int, tmin: float):
@@ -332,7 +365,7 @@ def _make_closest_kernel(n_top: int, block: int, tmin: float):
                 dma.start()
                 dma.wait()
                 t_cand, u_c, v_c, ids = _leaf_intersect(
-                    leaf_vmem[:, :], rays_mat, tmin, t_best)
+                    leaf_vmem[:, :], rays_mat, tmin, t_best, block)
                 t_min = jnp.min(t_cand, axis=0, keepdims=True)   # (1, 1024)
                 better = t_min < t_best
                 at_min = (t_cand == t_min) & (t_cand < 1e30)
@@ -429,7 +462,7 @@ def _make_closest_kernel_ordered(n_top: int, block: int, tmin: float):
                 dma.start()
                 dma.wait()
                 t_cand, u_c, v_c, ids = _leaf_intersect(
-                    leaf_vmem[:, :], rays_mat, tmin, t_best)
+                    leaf_vmem[:, :], rays_mat, tmin, t_best, block)
                 t_min = jnp.min(t_cand, axis=0, keepdims=True)
                 better = t_min < t_best
                 at_min = (t_cand == t_min) & (t_cand < 1e30)
@@ -554,7 +587,7 @@ def _make_closest_kernel_subpacket(n_top: int, block: int, tmin: float):
                     dma.start()
                     dma.wait()
                     t_cand, u_c, v_c, ids = _leaf_intersect(
-                        leaf_vmem[:, :], rays_mat[:, s], tmin, t_best[:, s])
+                        leaf_vmem[:, :], rays_mat[:, s], tmin, t_best[:, s], block)
                     t_min = jnp.min(t_cand, axis=0, keepdims=True)
                     better = t_min < t_best[:, s]
                     at_min = (t_cand == t_min) & (t_cand < 1e30)
@@ -622,14 +655,15 @@ def _make_closest_kernel_subpacket(n_top: int, block: int, tmin: float):
             return total > 0
 
         def body(state):
-            sps, t_best, tri_best, u_best, v_best = state
+            sps, t_best, tri_best, u_best, v_best, rounds = state
             new_sps = []
             for p in range(SUB):
                 args = (sps[p], t_best, tri_best, u_best, v_best)
                 args = jax.lax.cond(sps[p] > 0, steps[p], lambda a: a, args)
                 sp_p, t_best, tri_best, u_best, v_best = args
                 new_sps.append(sp_p)
-            return (tuple(new_sps), t_best, tri_best, u_best, v_best)
+            return (tuple(new_sps), t_best, tri_best, u_best, v_best,
+                    rounds + 1)
 
         for p in range(SUB):
             stack[p * 64] = jnp.int32(0)
@@ -637,11 +671,188 @@ def _make_closest_kernel_subpacket(n_top: int, block: int, tmin: float):
                 tmax,
                 jnp.full((1, 1024), -1, jnp.int32),
                 jnp.zeros((1, 1024), jnp.float32),
-                jnp.zeros((1, 1024), jnp.float32))
-        _, t, tri, u, v = jax.lax.while_loop(cond, body, init)
+                jnp.zeros((1, 1024), jnp.float32),
+                jnp.int32(0))
+        _, t, tri, u, v, rounds = jax.lax.while_loop(cond, body, init)
+        # row 4 carries the lockstep round count (diagnostic; wrapper
+        # ignores rows 4-7)
         out_ref[:] = jnp.concatenate(
             [t, jax.lax.bitcast_convert_type(tri, jnp.float32), u, v,
-             jnp.zeros((4, 1024), jnp.float32)], axis=0)
+             jnp.full((1, 1024), rounds, jnp.float32),
+             jnp.zeros((3, 1024), jnp.float32)], axis=0)
+
+    return kernel
+
+
+def _make_closest_kernel_v3(n_top: int, block: int, tmin: float,
+                            n_sub: int):
+    """Full-vreg sub-packet traversal (v3, the production closest-hit).
+
+    The v2 sub-packet kernel held each ray quantity as a (1, 128) slice —
+    one sublane of an (8, 128) vreg, wasting 7/8 of the VPU — and its
+    per-round cond/reduce scalar-vector sync dominated (measured 4.5 us
+    per lockstep round vs ~1 us of vector work). v3 instead makes each
+    sub-packet 1024 rays held as FULL (8, 128) vregs: 8x the rays per
+    vector op and per round, so the fixed round overhead (branches,
+    cross-core reductions, DMA issue) amortizes over 8x more work.
+    `n_sub` sub-packets (each with its own SMEM stack and ordered
+    near-child-first descent) run per program in lockstep rounds.
+
+    Ray data arrives in two layouts: `rays_ref` (8, n_sub*1024) lane-major
+    for the MXU leaf matmul, and `cube_ref` (n_sub*8, 8, 128) with each
+    component pre-reshaped to vreg form for slab tests. Best-hit state is
+    kept lane-major (matmul side); only its (8, 128) mirror used as the
+    slab t-limit is re-laid out, and only on leaf improvements."""
+
+    def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
+               miss_ref, leaf_ref, pages_ref, rays_ref, cube_ref,
+               out_ref, leaf_vmem, dma_sem, stack, best_ref, tcube_ref):
+        # best_ref (n_sub*4, 1024): rows s*4+{0..3} = t, tri(bits), u, v of
+        # sub s. tcube_ref (n_sub*8, 128): (8,128) t-limit mirror of sub s.
+        # All best-hit state lives in VMEM scratch mutated in place — the
+        # while loop carries only scalars, so cond branches stay cheap
+        # (an earlier draft carried 5 arrays per sub and ran 2.7x SLOWER
+        # than v2 from re-materializing them every round).
+        rays_mat = rays_ref[:]                   # (8, n_sub*1024)
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+
+        def lane_to_cube(x):                     # (1, 1024) -> (8, 128)
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_sub(c, s, t_limit_cube):
+            ox, oy, oz, ix, iy, iz = sub_rays[s]
+            return _slab_t(lox_ref[c], loy_ref[c], loz_ref[c],
+                           hix_ref[c], hiy_ref[c], hiz_ref[c],
+                           ox, oy, oz, ix, iy, iz, t_limit_cube)
+
+        def make_step(s):
+            lanes = slice(s * 1024, (s + 1) * 1024)
+            base = s * 64                        # stack segment for s
+            brow = s * 4
+
+            def step(sp):
+                sp = sp - 1
+                node = stack[base + sp]
+                t_cube = tcube_ref[s * 8:(s + 1) * 8, :]
+                hit, _ = slab_sub(node, s, t_cube)   # pop retest
+                any_hit = jnp.max(jnp.where(hit, 1, 0)) > 0
+                leaf = leaf_ref[node]
+                is_leaf = leaf >= 0
+
+                def do_leaf(sp):
+                    dma = pltpu.make_async_copy(
+                        pages_ref.at[leaf], leaf_vmem, dma_sem)
+                    dma.start()
+                    dma.wait()
+                    t_lane = best_ref[brow:brow + 1, :]
+                    t_cand, u_c, v_c, ids = _leaf_intersect(
+                        leaf_vmem[:, :], rays_mat[:, lanes], tmin, t_lane, block)
+                    t_min = jnp.min(t_cand, axis=0, keepdims=True)
+                    better = t_min < t_lane
+                    at_min = (t_cand == t_min) & (t_cand < 1e30)
+                    selm = lambda a: jnp.max(
+                        jnp.where(at_min, a, -jnp.inf), axis=0,
+                        keepdims=True)
+                    sel_id = jnp.max(jnp.where(at_min, ids, -1), axis=0,
+                                     keepdims=True)
+                    t_new = jnp.where(better, t_min, t_lane)
+                    tri_lane = best_ref[brow + 1:brow + 2, :]
+                    u_lane = best_ref[brow + 2:brow + 3, :]
+                    v_lane = best_ref[brow + 3:brow + 4, :]
+                    sel_bits = jax.lax.bitcast_convert_type(sel_id,
+                                                            jnp.float32)
+                    best_ref[brow:brow + 1, :] = t_new
+                    best_ref[brow + 1:brow + 2, :] = jnp.where(
+                        better, sel_bits, tri_lane)
+                    best_ref[brow + 2:brow + 3, :] = jnp.where(
+                        better, selm(u_c), u_lane)
+                    best_ref[brow + 3:brow + 4, :] = jnp.where(
+                        better, selm(v_c), v_lane)
+                    tcube_ref[s * 8:(s + 1) * 8, :] = lane_to_cube(t_new)
+                    return sp
+
+                def do_internal(sp):
+                    left = node + 1
+                    right = miss_ref[left]
+                    hit_l, tn_l = slab_sub(left, s, t_cube)
+                    hit_r, tn_r = slab_sub(right, s, t_cube)
+                    any_l = jnp.max(jnp.where(hit_l, 1, 0)) > 0
+                    any_r = jnp.max(jnp.where(hit_r, 1, 0)) > 0
+                    both = hit_l & hit_r
+                    votes_l = jnp.sum(jnp.where(both & (tn_l <= tn_r), 1, 0))
+                    votes = jnp.sum(jnp.where(both, 1, 0))
+                    near_is_left = jnp.where(votes > 0,
+                                             2 * votes_l >= votes, True)
+                    far_idx = jnp.where(near_is_left, right, left)
+                    near_idx = jnp.where(near_is_left, left, right)
+                    far_ok = jnp.where(near_is_left, any_r, any_l)
+                    near_ok = jnp.where(near_is_left, any_l, any_r)
+                    stack[base + sp] = far_idx
+                    sp = sp + jnp.where(far_ok, 1, 0)
+                    stack[base + sp] = near_idx
+                    sp = sp + jnp.where(near_ok, 1, 0)
+                    return sp
+
+                return jax.lax.cond(
+                    any_hit,
+                    lambda q: jax.lax.cond(is_leaf, do_leaf, do_internal, q),
+                    lambda q: q, sp)
+
+            return step
+
+        steps = [make_step(s) for s in range(n_sub)]
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def body(state):
+            sps, rounds = state
+            new_sps = tuple(
+                jax.lax.cond(sps[s] > 0, steps[s], lambda q: q, sps[s])
+                for s in range(n_sub))
+            return (new_sps, rounds + 1)
+
+        minus1 = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1024), -1, jnp.int32), jnp.float32)
+        for s in range(n_sub):
+            stack[s * 64] = jnp.int32(0)
+            t0 = rays_mat[7:8, s * 1024:(s + 1) * 1024]
+            best_ref[s * 4:s * 4 + 1, :] = t0
+            best_ref[s * 4 + 1:s * 4 + 2, :] = minus1
+            best_ref[s * 4 + 2:s * 4 + 3, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            best_ref[s * 4 + 3:s * 4 + 4, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            tcube_ref[s * 8:(s + 1) * 8, :] = cube_ref[s * 8 + 7]
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, body, init)
+        cat = lambda i: jnp.concatenate(
+            [best_ref[s * 4 + i:s * 4 + i + 1, :] for s in range(n_sub)],
+            axis=1)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [cat(0), cat(1), cat(2), cat(3),
+             jnp.full((1, width), rounds, jnp.float32),
+             jnp.zeros((3, width), jnp.float32)], axis=0)
 
     return kernel
 
@@ -681,7 +892,7 @@ def _make_occluded_kernel(n_top: int, block: int, tmin: float):
                 dma.start()
                 dma.wait()
                 t_cand, _, _, _ = _leaf_intersect(
-                    leaf_vmem[:, :], rays_mat, tmin, dist)
+                    leaf_vmem[:, :], rays_mat, tmin, dist, block)
                 found = jnp.max(jnp.where(t_cand < 1e30, 1, 0),
                                 axis=0, keepdims=True)
                 return jnp.maximum(occluded_i, found)
@@ -752,7 +963,7 @@ def _make_occluded_kernel_subpacket(n_top: int, block: int, tmin: float):
                     dma.start()
                     dma.wait()
                     t_cand, _, _, _ = _leaf_intersect(
-                        leaf_vmem[:, :], rays_mat[:, s], tmin, dist[:, s])
+                        leaf_vmem[:, :], rays_mat[:, s], tmin, dist[:, s], block)
                     found = jnp.max(jnp.where(t_cand < 1e30, 1, 0),
                                     axis=0, keepdims=True)
                     return splice(occ, jnp.maximum(occ[:, s], found), p)
@@ -834,6 +1045,70 @@ def _pack_inputs(origins, dirs, extra, extra_fill, n):
     return rays_mat, p
 
 
+def _pack_inputs_v3(origins, dirs, extra, extra_fill, n):
+    """v3 ray packing: lane-major matrices for the MXU leaf test plus the
+    (S*8, 8, 128) component cube for full-vreg slab tests. Programs cover
+    n_sub = min(8, N/1024) sub-packets of 1024 rays each."""
+    pad = _dispatch_size(n) - n
+    if pad:
+        zpad = lambda a, c: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], c, a.dtype)])
+        origins = zpad(origins, 0.0)
+        dirs = zpad(dirs, 1.0)
+        extra = zpad(extra, extra_fill)
+    np_rays = origins.shape[0]
+    n_subs_total = np_rays // RAYS_PER_PACKET
+    n_sub = min(8, n_subs_total)
+    p = n_subs_total // n_sub
+    ones = jnp.ones((np_rays,), jnp.float32)
+    stacked = jnp.stack([origins[:, 0], origins[:, 1], origins[:, 2], ones,
+                         dirs[:, 0], dirs[:, 1], dirs[:, 2], extra],
+                        axis=0)                          # (8, N)
+    rays_mat = stacked.reshape(8, p, n_sub * RAYS_PER_PACKET) \
+        .transpose(1, 0, 2).reshape(p * 8, n_sub * RAYS_PER_PACKET)
+    cube = stacked.reshape(8, n_subs_total, 8, 128) \
+        .transpose(1, 0, 2, 3).reshape(n_subs_total * 8, 8, 128)
+    return rays_mat, cube, p, n_sub
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_closest_v3(pbvh: PacketBVH, origins, dirs, tmax,
+                      tmin=1e-5) -> Hit:
+    """Closest-hit via the full-vreg sub-packet kernel (v3) — see
+    _make_closest_kernel_v3."""
+    n = origins.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, tmax, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_closest_kernel_v3(pbvh.n_top, pbvh.block, tmin, n_sub)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 8 + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, _page_cols(pbvh.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SMEM((512,), jnp.int32),
+                        pltpu.VMEM((n_sub * 4, 1024), jnp.float32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.float32)],
+    )(pbvh.top_lo[:, 0], pbvh.top_lo[:, 1], pbvh.top_lo[:, 2],
+      pbvh.top_hi[:, 0], pbvh.top_hi[:, 1], pbvh.top_hi[:, 2],
+      pbvh.top_miss, pbvh.top_leaf, pbvh.pages, rays_mat, cube)
+    out = out.reshape(p, 8, width)
+    pick = lambda r: out[:, r, :].reshape(-1)[:n]
+    return Hit(pick(0),
+               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               pick(2), pick(3))
+
+
 @functools.partial(jax.jit, static_argnames=("tmin",))
 def packet_closest(pbvh: PacketBVH, origins, dirs, tmax, tmin=1e-5) -> Hit:
     """Closest-hit for N rays (padded internally to the packet size)."""
@@ -849,7 +1124,7 @@ def packet_closest(pbvh: PacketBVH, origins, dirs, tmax, tmin=1e-5) -> Hit:
         in_specs=[_smem_spec()] * 8 + [hbm, _mat_spec()],
         out_specs=_mat_spec(),
         out_shape=jax.ShapeDtypeStruct((p * 8, 1024), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, _PAGE_GROUPS * pbvh.block),
+        scratch_shapes=[pltpu.VMEM((8, _page_cols(pbvh.block)),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SMEM((128,), jnp.int32)],
@@ -877,7 +1152,7 @@ def packet_occluded(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
         in_specs=[_smem_spec()] * 8 + [hbm, _mat_spec()],
         out_specs=_mat_spec(),
         out_shape=jax.ShapeDtypeStruct((p * 8, 1024), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, _PAGE_GROUPS * pbvh.block),
+        scratch_shapes=[pltpu.VMEM((8, _page_cols(pbvh.block)),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(pbvh.top_lo[:, 0], pbvh.top_lo[:, 1], pbvh.top_lo[:, 2],
@@ -903,7 +1178,7 @@ def packet_occluded_sub(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
         in_specs=[_smem_spec()] * 8 + [hbm, _mat_spec()],
         out_specs=_mat_spec(),
         out_shape=jax.ShapeDtypeStruct((p * 8, 1024), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, _PAGE_GROUPS * pbvh.block),
+        scratch_shapes=[pltpu.VMEM((8, _page_cols(pbvh.block)),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
     )(pbvh.top_lo[:, 0], pbvh.top_lo[:, 1], pbvh.top_lo[:, 2],
@@ -930,7 +1205,7 @@ def packet_closest_sub(pbvh: PacketBVH, origins, dirs, tmax,
         in_specs=[_smem_spec()] * 8 + [hbm, _mat_spec()],
         out_specs=_mat_spec(),
         out_shape=jax.ShapeDtypeStruct((p * 8, 1024), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, _PAGE_GROUPS * pbvh.block),
+        scratch_shapes=[pltpu.VMEM((8, _page_cols(pbvh.block)),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SMEM((512,), jnp.int32)],

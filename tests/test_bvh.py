@@ -97,7 +97,8 @@ def test_packet_bvh_build_structure():
     n_leaves = pbvh.pages.shape[0]
     assert pbvh.n_top == 2 * n_leaves - 1
     b = pbvh.block
-    assert pbvh.pages.shape[1:] == (8, 7 * b)
+    from pt.accel.pallas_bvh import _page_cols
+    assert pbvh.pages.shape[1:] == (8, _page_cols(b))  # lane-padded 7B
     # triangle ids cover all input triangles exactly once (padding = -1)
     ids = np.asarray(jax.lax.bitcast_convert_type(
         pbvh.pages[:, 0, 6 * b:7 * b], jnp.int32)).ravel()
