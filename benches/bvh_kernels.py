@@ -11,7 +11,13 @@ Measured 2026-08-16 (v5e, heightfield 224 -> 99k tris, 65k rays):
   v1 monolithic  sorted ~105 ms   unsorted ~323 ms   (block=128, HIGHEST)
   v2 sub-packet  sorted  ~83 ms   unsorted ~209 ms   (block=128, HIGHEST)
   v3 full-vreg   sorted  ~72 ms   unsorted ~190 ms   (block=64, 3-pass)
-v3 = production: full-(8,128)-vreg sub-packets + lane-padded block-64
+  v4 phase-split sorted  ~51 ms   unsorted ~125 ms   (production)
+v4 adds phase separation: a pop->slab->reduce->branch chain costs ~2.5 us
+of scalar<->vector round-trip latency, and vector ops inside cond branches
+force a vector-queue sync per branch, so v4 issues every sub-packet's slab
+tests and packed reduces unconditionally before any scalar consumption,
+keeps branches scalar-only, and prefetches leaf DMAs from pure-scalar
+classification. v3 notes: full-(8,128)-vreg sub-packets + lane-padded block-64
 pages + 3-bf16-pass matmul (the HIGHEST-precision matmul measured ~40%
 of v3 runtime; 3-pass keeps t within ~2^-16 relative).
 """
@@ -28,7 +34,7 @@ import jax.numpy as jnp
 import pt  # noqa: F401  (enables the persistent compile cache)
 from pt.accel.intersect import intersect_brute
 from pt.accel.pallas_bvh import (build_packet_bvh_sah, packet_closest,
-                                 packet_closest_sub, packet_closest_v3,
+                                 packet_closest_sub, packet_closest_v3, packet_closest_v4,
                                  packet_occluded, packet_occluded_sub)
 from pt.render.integrator import _coherence_keys
 from pt.scene.examples import make_heightfield_scene
@@ -81,9 +87,11 @@ def main():
     timed(packet_closest, o_s, d_s, "closest v1 monolithic sorted")
     timed(packet_closest_sub, o_s, d_s, "closest v2 sub-packet sorted")
     timed(packet_closest_v3, o_s, d_s, "closest v3 full-vreg  sorted")
+    timed(packet_closest_v4, o_s, d_s, "closest v4 phase-split sorted")
     timed(packet_closest, o, d, "closest v1 monolithic unsorted")
     timed(packet_closest_sub, o, d, "closest v2 sub-packet unsorted")
     timed(packet_closest_v3, o, d, "closest v3 full-vreg  unsorted")
+    timed(packet_closest_v4, o, d, "closest v4 phase-split unsorted")
 
     # occlusion: shadow-like rays from surface points toward one light
     light = jnp.asarray([0.0, 8.0, 0.0])

@@ -857,6 +857,219 @@ def _make_closest_kernel_v3(n_top: int, block: int, tmin: float,
     return kernel
 
 
+def _make_closest_kernel_v4(n_top: int, block: int, tmin: float,
+                            n_sub: int):
+    """Phase-split full-vreg traversal (v4).
+
+    Microbenchmarks showed a single pop->slab->reduce->branch chain costs
+    ~2.5 us of scalar<->vector round-trip latency, and that vector ops
+    INSIDE cond branches force a vector-queue sync per branch — while the
+    vector work itself is nearly free. v4 therefore restructures each
+    lockstep round into three phases so the n_sub chains overlap:
+
+      0. scalar: pop each sub's node, classify leaf/internal from SMEM
+         (pure scalar), and START the leaf DMAs immediately (per-sub
+         buffers + semaphores) so they overlap the vector phase;
+      1. vector, UNCONDITIONAL: all subs' node/left/right slab tests and
+         their reduces, issued back-to-back before any consumption —
+         flag pairs are packed into shared i32 sum-reduces (count>0 == any)
+         to halve the reduce count;
+      2. scalar: branch on the precomputed flags; internal nodes do
+         scalar-only stack pushes, leaves wait their prefetched DMA and
+         run the MXU intersect (the only remaining vector-in-branch).
+
+    Layouts (cube input, lane-major best state in VMEM scratch) are as in
+    v3 (_make_closest_kernel_v3)."""
+
+    def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
+               miss_ref, leaf_ref, pages_ref, rays_ref, cube_ref,
+               out_ref, leaf_vmem, dma_sems, stack, best_ref, tcube_ref):
+        # leaf_vmem (n_sub, 8, page_cols); dma_sems (n_sub,)
+        rays_mat = rays_ref[:]                   # (8, n_sub*1024)
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+
+        def lane_to_cube(x):                     # (1, 1024) -> (8, 128)
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_sub(c, s, t_limit_cube):
+            ox, oy, oz, ix, iy, iz = sub_rays[s]
+            return _slab_t(lox_ref[c], loy_ref[c], loz_ref[c],
+                           hix_ref[c], hiy_ref[c], hiz_ref[c],
+                           ox, oy, oz, ix, iy, iz, t_limit_cube)
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def body(state):
+            sps, rounds = state
+
+            # ---- phase 0: scalar classification + leaf DMA prefetch
+            nodes, leaves, lefts, rights, lives = [], [], [], [], []
+            for s in range(n_sub):
+                live = sps[s] > 0
+                sp = jnp.maximum(sps[s] - 1, 0)
+                node = stack[s * 64 + sp]
+                lf = leaf_ref[node]
+                is_leaf = live & (lf >= 0)
+                left = jnp.minimum(node + 1, n_top - 1)
+                right = jnp.minimum(miss_ref[left], n_top - 1)
+                nodes.append(node)
+                leaves.append((is_leaf, lf))
+                lefts.append(left)
+                rights.append(right)
+                lives.append(live)
+
+                def start_dma(_, s=s, lf=lf):
+                    dma = pltpu.make_async_copy(
+                        pages_ref.at[lf], leaf_vmem.at[s], dma_sems.at[s])
+                    dma.start()
+                    return jnp.int32(0)
+
+                jax.lax.cond(is_leaf, start_dma,
+                             lambda q: q, jnp.int32(0))
+
+            # ---- phase 1: unconditional vector tests, packed reduces
+            flags = []
+            for s in range(n_sub):
+                t_cube = tcube_ref[s * 8:(s + 1) * 8, :]
+                hit, _ = slab_sub(nodes[s], s, t_cube)
+                hit_l, tn_l = slab_sub(lefts[s], s, t_cube)
+                hit_r, tn_r = slab_sub(rights[s], s, t_cube)
+                both = hit_l & hit_r
+                # two packed i32 sum-reduces: low 12 bits and bits 12+
+                # each hold a lane count (<= 1024), count>0 == any
+                r_node_votes = jnp.sum(
+                    jnp.where(hit, 1, 0)
+                    + jnp.where(both & (tn_l <= tn_r), 4096, 0))
+                r_lr = jnp.sum(jnp.where(hit_l, 1, 0)
+                               + jnp.where(hit_r, 4096, 0))
+                r_votes = jnp.sum(jnp.where(both, 1, 0))
+                flags.append((r_node_votes, r_lr, r_votes))
+
+            # ---- phase 2: scalar control (+ leaf intersect in branch)
+            new_sps = []
+            for s in range(n_sub):
+                is_leaf, lf = leaves[s]
+                r_node_votes, r_lr, r_votes = flags[s]
+                any_hit = (r_node_votes & 4095) > 0
+                votes_l = r_node_votes >> 12
+                any_l = (r_lr & 4095) > 0
+                any_r = r_lr >= 4096
+                sp = jnp.maximum(sps[s] - 1, 0)
+                lanes = slice(s * 1024, (s + 1) * 1024)
+                brow = s * 4
+
+                def do_leaf(sp, s=s, lf=lf, lanes=lanes, brow=brow,
+                            any_hit=any_hit):
+                    pltpu.make_async_copy(pages_ref.at[lf],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).wait()
+
+                    def intersect(q, s=s, lanes=lanes, brow=brow):
+                        t_lane = best_ref[brow:brow + 1, :]
+                        t_cand, u_c, v_c, ids = _leaf_intersect(
+                            leaf_vmem[s], rays_mat[:, lanes], tmin,
+                            t_lane, block)
+                        t_min = jnp.min(t_cand, axis=0, keepdims=True)
+                        better = t_min < t_lane
+                        at_min = (t_cand == t_min) & (t_cand < 1e30)
+                        selm = lambda a: jnp.max(
+                            jnp.where(at_min, a, -jnp.inf), axis=0,
+                            keepdims=True)
+                        sel_id = jnp.max(jnp.where(at_min, ids, -1),
+                                         axis=0, keepdims=True)
+                        t_new = jnp.where(better, t_min, t_lane)
+                        sel_bits = jax.lax.bitcast_convert_type(
+                            sel_id, jnp.float32)
+                        best_ref[brow:brow + 1, :] = t_new
+                        best_ref[brow + 1:brow + 2, :] = jnp.where(
+                            better, sel_bits,
+                            best_ref[brow + 1:brow + 2, :])
+                        best_ref[brow + 2:brow + 3, :] = jnp.where(
+                            better, selm(u_c),
+                            best_ref[brow + 2:brow + 3, :])
+                        best_ref[brow + 3:brow + 4, :] = jnp.where(
+                            better, selm(v_c),
+                            best_ref[brow + 3:brow + 4, :])
+                        tcube_ref[s * 8:(s + 1) * 8, :] = \
+                            lane_to_cube(t_new)
+                        return q
+
+                    return jax.lax.cond(any_hit, intersect,
+                                        lambda q: q, sp)
+
+                def do_internal(sp, s=s, lefts=lefts, rights=rights,
+                                any_l=any_l, any_r=any_r,
+                                votes_l=votes_l, r_votes=r_votes):
+                    near_is_left = jnp.where(r_votes > 0,
+                                             2 * votes_l >= r_votes, True)
+                    far_idx = jnp.where(near_is_left, rights[s], lefts[s])
+                    near_idx = jnp.where(near_is_left, lefts[s], rights[s])
+                    far_ok = jnp.where(near_is_left, any_r, any_l)
+                    near_ok = jnp.where(near_is_left, any_l, any_r)
+                    stack[s * 64 + sp] = far_idx
+                    sp = sp + jnp.where(far_ok, 1, 0)
+                    stack[s * 64 + sp] = near_idx
+                    sp = sp + jnp.where(near_ok, 1, 0)
+                    return sp
+
+                def internal_if_hit(sp, any_hit=any_hit,
+                                    do_internal=do_internal):
+                    return jax.lax.cond(any_hit, do_internal,
+                                        lambda q: q, sp)
+
+                # leaves must always wait their prefetched DMA (semaphore
+                # balance), even when the pop retest failed
+                sp = jax.lax.cond(is_leaf, do_leaf, internal_if_hit, sp)
+                new_sps.append(jnp.where(lives[s], sp, sps[s]))
+
+            return (tuple(new_sps), rounds + 1)
+
+        minus1 = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1024), -1, jnp.int32), jnp.float32)
+        for s in range(n_sub):
+            stack[s * 64] = jnp.int32(0)
+            t0 = rays_mat[7:8, s * 1024:(s + 1) * 1024]
+            best_ref[s * 4:s * 4 + 1, :] = t0
+            best_ref[s * 4 + 1:s * 4 + 2, :] = minus1
+            best_ref[s * 4 + 2:s * 4 + 3, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            best_ref[s * 4 + 3:s * 4 + 4, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            tcube_ref[s * 8:(s + 1) * 8, :] = cube_ref[s * 8 + 7]
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, body, init)
+        cat = lambda i: jnp.concatenate(
+            [best_ref[s * 4 + i:s * 4 + i + 1, :] for s in range(n_sub)],
+            axis=1)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [cat(0), cat(1), cat(2), cat(3),
+             jnp.full((1, width), rounds, jnp.float32),
+             jnp.zeros((3, width), jnp.float32)], axis=0)
+
+    return kernel
+
+
 def _make_occluded_kernel(n_top: int, block: int, tmin: float):
     def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                miss_ref, leaf_ref, pages_ref, rays_ref,
@@ -1096,6 +1309,44 @@ def packet_closest_v3(pbvh: PacketBVH, origins, dirs, tmax,
         scratch_shapes=[pltpu.VMEM((8, _page_cols(pbvh.block)),
                                    jnp.float32),
                         pltpu.SemaphoreType.DMA(()),
+                        pltpu.SMEM((512,), jnp.int32),
+                        pltpu.VMEM((n_sub * 4, 1024), jnp.float32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.float32)],
+    )(pbvh.top_lo[:, 0], pbvh.top_lo[:, 1], pbvh.top_lo[:, 2],
+      pbvh.top_hi[:, 0], pbvh.top_hi[:, 1], pbvh.top_hi[:, 2],
+      pbvh.top_miss, pbvh.top_leaf, pbvh.pages, rays_mat, cube)
+    out = out.reshape(p, 8, width)
+    pick = lambda r: out[:, r, :].reshape(-1)[:n]
+    return Hit(pick(0),
+               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               pick(2), pick(3))
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_closest_v4(pbvh: PacketBVH, origins, dirs, tmax,
+                      tmin=1e-5) -> Hit:
+    """Closest-hit via the phase-split kernel (v4) — see
+    _make_closest_kernel_v4."""
+    n = origins.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, tmax, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_closest_kernel_v4(pbvh.n_top, pbvh.block, tmin, n_sub)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 8 + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 8, _page_cols(pbvh.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub,)),
                         pltpu.SMEM((512,), jnp.int32),
                         pltpu.VMEM((n_sub * 4, 1024), jnp.float32),
                         pltpu.VMEM((n_sub * 8, 128), jnp.float32)],

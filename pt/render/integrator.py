@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from pt.accel.intersect import intersect_brute
 from pt.accel.lbvh import ThreadedBVH, build_bvh
 from pt.accel.pallas_bvh import (PacketBVH, build_packet_bvh,
-                                 packet_closest_v3, packet_occluded)
+                                 packet_closest_v4, packet_occluded)
 from pt.accel.traverse import bvh_closest, bvh_occluded
 from pt.render import rng as prng
 from pt.render.bsdf import evaluate_bsdf, sample_bsdf
@@ -332,11 +332,11 @@ def trace_closest(bvh, world_pos, tri_idx, origins, dirs, tmax=TMAX):
     if bvh is None:
         return intersect_brute(world_pos, tri_idx, origins, dirs, TMIN, tmax)
     if isinstance(bvh, PacketBVH):
-        # full-vreg sub-packet kernel (v3): 8 independent 1024-ray cones
-        # per program, each quantity a full (8,128) vreg — measured 72 ms
-        # vs 105 ms (v1 monolithic) / 83 ms (v2 128-lane sub-packets) on
-        # 65k sorted incoherent rays
-        return packet_closest_v3(bvh, origins, dirs, tmax, TMIN)
+        # phase-split full-vreg kernel (v4): unconditional slab tests +
+        # packed reduces issued before any scalar consumption, scalar-only
+        # branches, prefetched leaf DMAs — 51 ms on 65k sorted incoherent
+        # rays vs 72 (v3) / 83 (v2) / 105 (v1)
+        return packet_closest_v4(bvh, origins, dirs, tmax, TMIN)
     return bvh_closest(bvh, world_pos, tri_idx, origins, dirs, TMIN, tmax)
 
 
