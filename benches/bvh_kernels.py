@@ -35,7 +35,8 @@ import pt  # noqa: F401  (enables the persistent compile cache)
 from pt.accel.intersect import intersect_brute
 from pt.accel.pallas_bvh import (build_packet_bvh_sah, packet_closest,
                                  packet_closest_sub, packet_closest_v3, packet_closest_v4,
-                                 packet_occluded, packet_occluded_sub)
+                                 packet_occluded, packet_occluded_sub,
+                                 packet_occluded_v4)
 from pt.render.integrator import _coherence_keys
 from pt.scene.examples import make_heightfield_scene
 from pt.scene.flatten import flatten_scene, world_vertices
@@ -102,9 +103,11 @@ def main():
     d_sh = to_l / dist[:, None]
 
     occ_a = packet_occluded(sah, sp, d_sh, dist)
-    occ_b = packet_occluded_sub(sah, sp, d_sh, dist)
-    bad = int((np.asarray(occ_a) != np.asarray(occ_b)).sum())
-    print(f"occlusion sub-packet disagreements: {bad}/{N_RAYS}", flush=True)
+    for name, fn in (("sub-packet", packet_occluded_sub),
+                     ("v4", packet_occluded_v4)):
+        occ_b = fn(sah, sp, d_sh, dist)
+        bad = int((np.asarray(occ_a) != np.asarray(occ_b)).sum())
+        print(f"occlusion {name} disagreements: {bad}/{N_RAYS}", flush=True)
 
     def timed_occ(fn, label):
         @jax.jit
@@ -121,8 +124,9 @@ def main():
         print(f"{label}: {dt:.2f} ms  ({N_RAYS / (dt * 1e3):.1f} Mrays/s)",
               flush=True)
 
-    timed_occ(packet_occluded, "occluded 1024-packet shadow")
-    timed_occ(packet_occluded_sub, "occluded sub-packet  shadow")
+    timed_occ(packet_occluded, "occluded v1 monolithic shadow")
+    timed_occ(packet_occluded_sub, "occluded v2 sub-packet shadow")
+    timed_occ(packet_occluded_v4, "occluded v4 phase-split shadow")
 
 
 if __name__ == "__main__":

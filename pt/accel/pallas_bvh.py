@@ -1070,6 +1070,135 @@ def _make_closest_kernel_v4(n_top: int, block: int, tmin: float,
     return kernel
 
 
+def _make_occluded_kernel_v4(n_top: int, block: int, tmin: float,
+                             n_sub: int):
+    """Phase-split full-vreg occlusion kernel (v4 recipe, see
+    _make_closest_kernel_v4). Each sub-packet of 1024 rays walks the
+    threaded preorder with its own cursor (occlusion needs no ordering, so
+    no stack): phase 0 classifies + prefetches leaf DMAs, phase 1 runs all
+    slab tests with ONE packed reduce per sub (live-hit count in the low
+    bits, unoccluded-lane count in the high bits — so the all-occluded
+    early exit rides the same reduce), phase 2 is scalar cursor updates
+    plus the MXU leaf test for leaf visits."""
+
+    def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
+               miss_ref, leaf_ref, pages_ref, rays_ref, cube_ref,
+               out_ref, leaf_vmem, dma_sems, occ_ref, occub_ref):
+        # occ_ref (n_sub, 1024) i32 lane-major; occub_ref (n_sub*8, 128) i32
+        rays_mat = rays_ref[:]                   # (8, n_sub*1024)
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz),
+                             cube_ref[s * 8 + 7]))
+
+        def lane_to_cube_i(x):                   # (1, 1024) -> (8, 128) i32
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def cond(state):
+            curs = state[0]
+            live = jnp.where(curs[0] < n_top, 1, 0)
+            for s in range(1, n_sub):
+                live = live + jnp.where(curs[s] < n_top, 1, 0)
+            return live > 0
+
+        def body(state):
+            curs, rounds = state
+
+            # phase 0: scalar classify + leaf DMA prefetch
+            nodes, leaves = [], []
+            for s in range(n_sub):
+                node = jnp.minimum(curs[s], n_top - 1)
+                lf = leaf_ref[node]
+                is_leaf = (curs[s] < n_top) & (lf >= 0)
+                nodes.append(node)
+                leaves.append((is_leaf, lf))
+
+                def start_dma(q, s=s, lf=lf):
+                    pltpu.make_async_copy(pages_ref.at[lf],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).start()
+                    return q
+                jax.lax.cond(is_leaf, start_dma, lambda q: q, jnp.int32(0))
+
+            # phase 1: unconditional vector tests, one packed reduce/sub
+            flags = []
+            for s in range(n_sub):
+                ox, oy, oz, ix, iy, iz, dist = sub_rays[s]
+                occ_c = occub_ref[s * 8:(s + 1) * 8, :]
+                hit = _slab(lox_ref[nodes[s]], loy_ref[nodes[s]],
+                            loz_ref[nodes[s]], hix_ref[nodes[s]],
+                            hiy_ref[nodes[s]], hiz_ref[nodes[s]],
+                            ox, oy, oz, ix, iy, iz, dist) & (occ_c == 0)
+                flags.append(jnp.sum(jnp.where(hit, 1, 0)
+                                     + jnp.where(occ_c == 0, 4096, 0)))
+
+            # phase 2: scalar cursor updates + leaf intersects
+            new_curs = []
+            for s in range(n_sub):
+                is_leaf, lf = leaves[s]
+                any_hit = (flags[s] & 4095) > 0
+                node = nodes[s]
+                miss = miss_ref[node]
+                lanes = slice(s * 1024, (s + 1) * 1024)
+
+                def do_leaf(q, s=s, lf=lf, lanes=lanes, any_hit=any_hit):
+                    pltpu.make_async_copy(pages_ref.at[lf],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).wait()
+
+                    def intersect(q, s=s, lanes=lanes):
+                        ox, oy, oz, ix, iy, iz, dist = sub_rays[s]
+                        dist_lane = rays_mat[7:8, lanes]
+                        t_cand, _, _, _ = _leaf_intersect(
+                            leaf_vmem[s], rays_mat[:, lanes], tmin,
+                            dist_lane, block)
+                        found = jnp.max(jnp.where(t_cand < 1e30, 1, 0),
+                                        axis=0, keepdims=True)
+                        occ = jnp.maximum(occ_ref[s:s + 1, :], found)
+                        occ_ref[s:s + 1, :] = occ
+                        occub_ref[s * 8:(s + 1) * 8, :] = \
+                            lane_to_cube_i(occ)
+                        return q
+                    return jax.lax.cond(any_hit, intersect, lambda q: q, q)
+
+                jax.lax.cond(is_leaf, do_leaf, lambda q: q, jnp.int32(0))
+
+                all_occ = (flags[s] >> 12) == 0
+                descend = any_hit & jnp.logical_not(is_leaf)
+                nxt = jnp.where(all_occ, n_top,
+                                jnp.where(descend, node + 1, miss))
+                new_curs.append(jnp.where(curs[s] < n_top, nxt, curs[s]))
+
+            return (tuple(new_curs), rounds + 1)
+
+        for s in range(n_sub):
+            occ_ref[s:s + 1, :] = jnp.zeros((1, 1024), jnp.int32)
+            occub_ref[s * 8:(s + 1) * 8, :] = jnp.zeros((8, 128), jnp.int32)
+        init = (tuple(jnp.int32(0) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, body, init)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [jnp.concatenate([occ_ref[s:s + 1, :] for s in range(n_sub)],
+                             axis=1),
+             jnp.full((1, width), rounds, jnp.int32),
+             jnp.zeros((6, width), jnp.int32)], axis=0)
+
+    return kernel
+
+
 def _make_occluded_kernel(n_top: int, block: int, tmin: float):
     def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                miss_ref, leaf_ref, pages_ref, rays_ref,
@@ -1410,6 +1539,39 @@ def packet_occluded(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
       pbvh.top_hi[:, 0], pbvh.top_hi[:, 1], pbvh.top_hi[:, 2],
       pbvh.top_miss, pbvh.top_leaf, pbvh.pages, rays_mat)
     occ = occ.reshape(p, 8, 1024)[:, 0, :].reshape(-1)[:n]
+    return occ > 0
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_occluded_v4(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
+    """Occlusion via the phase-split kernel (v4) — see
+    _make_occluded_kernel_v4."""
+    n = origins.shape[0]
+    dist = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, dist, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_occluded_kernel_v4(pbvh.n_top, pbvh.block, tmin, n_sub)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 8 + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 8, _page_cols(pbvh.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub,)),
+                        pltpu.VMEM((n_sub, 1024), jnp.int32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.int32)],
+    )(pbvh.top_lo[:, 0], pbvh.top_lo[:, 1], pbvh.top_lo[:, 2],
+      pbvh.top_hi[:, 0], pbvh.top_hi[:, 1], pbvh.top_hi[:, 2],
+      pbvh.top_miss, pbvh.top_leaf, pbvh.pages, rays_mat, cube)
+    occ = occ.reshape(p, 8, width)[:, 0, :].reshape(-1)[:n]
     return occ > 0
 
 
