@@ -82,9 +82,14 @@ class PathTracingSettings:
     # small scenes)
     backend: str = "pallas"
     bvh_leaf_size: int = 4
-    # per-bounce coherence sort of secondary rays (octant+Morton);
-    # primary bounces are already coherent via film tiling
-    sort_rays: bool = True
+    # per-bounce coherence sort of secondary rays (octant+Morton).
+    # Default OFF: with the v4 kernel's 1024-ray cones, film-tile origin
+    # coherence already bounds the traversal footprint, and the sort's
+    # argsort + full-carry gather measured a net LOSS (bounce1 at 262k
+    # rays: 114 ms sorted vs 81 ms unsorted on the heightfield bench).
+    # Turn on for workloads with incoherent origins (e.g. heavy
+    # transmission/many-bounce interiors).
+    sort_rays: bool = False
 
 
 class Accel(NamedTuple):
