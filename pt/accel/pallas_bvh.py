@@ -82,6 +82,107 @@ class PacketBVH:
                                    default=TRIS_PER_BLOCK)
 
 
+LEAF_BIT = 1 << 24           # BF8 child-entry tag (leaf id in low bits)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BF8BVH:
+    """Branching-factor-8 top tree for the wide traversal kernel: the
+    binary tree collapsed 3 levels at a time, so one visit slab-tests all
+    8 (grand)children at once — fewer lockstep rounds for the same
+    pruning. Child entries encode leaves as (LEAF_BIT | leaf_id)."""
+    c_lo: jax.Array          # (n8*8, 3) f32 child bounds (1e30 pt = empty)
+    c_hi: jax.Array          # (n8*8, 3) f32
+    c_ent: jax.Array         # (n8*8,) i32 child entry (-1 empty)
+    l_lo: jax.Array          # (n_leaves, 3) f32 leaf-block bounds
+    l_hi: jax.Array          # (n_leaves, 3) f32
+    pages: jax.Array         # as PacketBVH.pages
+    n8: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_leaves: int = dataclasses.field(metadata=dict(static=True), default=0)
+    block: int = dataclasses.field(metadata=dict(static=True),
+                                   default=TRIS_PER_BLOCK)
+    # whether the leaf-bounds SMEM tables fit (enables the pop retest
+    # that gates leaf intersects; without it leaves intersect always)
+    leaf_retest: bool = dataclasses.field(metadata=dict(static=True),
+                                          default=True)
+
+
+def build_bf8(pbvh: PacketBVH):
+    """Collapse a (host-materialised) PacketBVH binary top tree into a
+    BF8BVH. Returns None if the result would blow the SMEM budget.
+
+    Binary children in the preorder/miss representation: left = i+1,
+    right = miss[i+1] (both exist for every internal node — the builders
+    emit full binary trees)."""
+    lo = np.asarray(pbvh.top_lo)
+    hi = np.asarray(pbvh.top_hi)
+    miss = np.asarray(pbvh.top_miss)
+    leaf = np.asarray(pbvh.top_leaf)
+    n = pbvh.n_top
+    n_leaves = int((leaf >= 0).sum())
+
+    # leaf-block bounds table (indexed by leaf id)
+    l_lo = np.full((n_leaves, 3), 1e30, np.float32)
+    l_hi = np.full((n_leaves, 3), 1e30, np.float32)
+    for i in range(n):
+        if leaf[i] >= 0:
+            l_lo[leaf[i]] = lo[i]
+            l_hi[leaf[i]] = hi[i]
+
+    def expand(i, depth):
+        """Children of binary node i, collapsed to depth 3."""
+        if leaf[i] >= 0 or depth == 3:
+            return [i]
+        left = i + 1
+        right = miss[left]
+        return expand(left, depth + 1) + expand(right, depth + 1)
+
+    # BFS over bf8 nodes (rooted at binary node 0, which may be a leaf)
+    if leaf[0] >= 0:
+        return None                          # single-leaf scene: use v4
+    bf8_of_binary = {0: 0}
+    order = [0]
+    children: list[list[int]] = []
+    for bi in order:
+        kids = expand(bi, 0)
+        row = []
+        for k in kids:
+            if leaf[k] >= 0:
+                row.append(("leaf", int(leaf[k]), k))
+            else:
+                if k not in bf8_of_binary:
+                    bf8_of_binary[k] = len(order)
+                    order.append(k)
+                row.append(("node", bf8_of_binary[k], k))
+        children.append(row)
+
+    n8 = len(order)
+    # SMEM budget: child bounds 6*(n8*8) + entries (+ leaf bounds)
+    base_kb = 7 * n8 * 8 * 4 / 1024
+    leaf_kb = 6 * n_leaves * 4 / 1024
+    if base_kb > 240:
+        return None
+    leaf_retest = base_kb + leaf_kb <= 240
+
+    # empty slots: a degenerate far-away box (lo == hi == 1e30), NOT an
+    # inverted inf box — (inf - o) * inv products make inverted-inf boxes
+    # register as hits in the slab arithmetic
+    c_lo = np.full((n8 * 8, 3), 1e30, np.float32)
+    c_hi = np.full((n8 * 8, 3), 1e30, np.float32)
+    c_ent = np.full((n8 * 8,), -1, np.int32)
+    for i8, row in enumerate(children):
+        for c, (kind, idx, bi) in enumerate(row):
+            c_lo[i8 * 8 + c] = lo[bi]
+            c_hi[i8 * 8 + c] = hi[bi]
+            c_ent[i8 * 8 + c] = (LEAF_BIT | idx) if kind == "leaf" else idx
+    return BF8BVH(c_lo=jnp.asarray(c_lo), c_hi=jnp.asarray(c_hi),
+                  c_ent=jnp.asarray(c_ent),
+                  l_lo=jnp.asarray(l_lo), l_hi=jnp.asarray(l_hi),
+                  pages=pbvh.pages, n8=n8, n_leaves=n_leaves,
+                  block=pbvh.block, leaf_retest=leaf_retest)
+
+
 def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np):
     """Pack per-leaf matmul operand pages from (T_pad, 3) triangle data in
     leaf order. tri_ids: (T_pad,) int32 with -1 padding. Returns
@@ -208,7 +309,8 @@ def build_packet_bvh(positions: jax.Array, tri_idx: jax.Array,
 
 
 def build_packet_bvh_sah(positions_np, tri_idx_np,
-                         block: int = TRIS_PER_BLOCK):
+                         block: int = TRIS_PER_BLOCK,
+                         max_leaves: int = None):
     """Host-side build using the native binned-SAH builder
     (csrc/sah_bvh.cpp) — higher-quality trees for static scenes
     (≙ PREFER_FAST_TRACE builds). Returns None when the native library is
@@ -216,6 +318,7 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     """
     from pt.accel.native import build_sah
 
+    max_nodes = 2 * (max_leaves or MAX_TOP_LEAVES) - 1
     block = max(32, -(-block // 32) * 32)   # page-group granularity
     positions_np = np.asarray(positions_np, np.float32)
     tri_idx_np = np.asarray(tri_idx_np, np.int64)
@@ -231,7 +334,7 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
         result = build_sah(tri_lo, tri_hi, centroids, block)
         if result is None:
             return None
-        if len(result[3]) <= MAX_TOP_NODES:
+        if len(result[3]) <= max_nodes:
             break
         block *= 2
         result = None
@@ -1070,6 +1173,371 @@ def _make_closest_kernel_v4(n_top: int, block: int, tmin: float,
     return kernel
 
 
+def _sort8_desc(pairs):
+    """Scalar Batcher odd-even network: sort 8 (key, payload) scalar pairs
+    descending by key. ~19 compare-exchanges, pure scalar ops."""
+    net = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+           (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+           (1, 2), (3, 4), (5, 6)]
+    arr = list(pairs)
+    for a, b in net:
+        ta, ea = arr[a]
+        tb, eb = arr[b]
+        swap = ta < tb
+        arr[a] = (jnp.where(swap, tb, ta), jnp.where(swap, eb, ea))
+        arr[b] = (jnp.where(swap, ta, tb), jnp.where(swap, ea, eb))
+    return arr
+
+
+def _make_closest_kernel_bf8(n8: int, n_leaves: int, block: int,
+                             tmin: float, n_sub: int,
+                             leaf_retest: bool = True):
+    """Wide (branching-factor-8) phase-split traversal. One internal visit
+    slab-tests all 8 collapsed (grand)children at once — replacing up to 3
+    binary rounds with one — with per-child masked min-tnear reduces
+    providing hit flags, near-first ordering (scalar 8-sort network), and
+    no extra cost on the vector units. Leaf entries carry their own bounds
+    table for the pop retest that gates the MXU intersect. Phases and
+    layouts follow _make_closest_kernel_v4."""
+
+    def kernel(clox, cloy, cloz, chix, chiy, chiz, cent, *rest):
+        if leaf_retest:
+            (llox, lloy, lloz, lhix, lhiy, lhiz,
+             pages_ref, rays_ref, cube_ref,
+             out_ref, leaf_vmem, dma_sems, stack,
+             best_ref, tcube_ref) = rest
+        else:
+            (pages_ref, rays_ref, cube_ref,
+             out_ref, leaf_vmem, dma_sems, stack,
+             best_ref, tcube_ref) = rest
+        rays_mat = rays_ref[:]                   # (8, n_sub*1024)
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+
+        def lane_to_cube(x):
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_gen(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, s, t_cube):
+            ox, oy, oz, ix, iy, iz = sub_rays[s]
+            return _slab_t(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
+                           ox, oy, oz, ix, iy, iz, t_cube)
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def body(state):
+            sps, rounds = state
+
+            # phase 0: scalar pop/classify + leaf DMA prefetch
+            popped = []
+            for s in range(n_sub):
+                live = sps[s] > 0
+                spp = jnp.maximum(sps[s] - 1, 0)
+                ent = stack[s * 128 + spp]
+                is_leaf = live & (ent >= LEAF_BIT)
+                lid = jnp.clip(ent - LEAF_BIT, 0, n_leaves - 1)
+                node8 = jnp.clip(ent, 0, n8 - 1)
+                popped.append((spp, ent, is_leaf, lid, node8, live))
+
+                def start_dma(q, s=s, lid=lid):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).start()
+                    return q
+                jax.lax.cond(is_leaf, start_dma, lambda q: q, jnp.int32(0))
+
+            # phase 1: unconditional vector tests
+            #   8 child slabs (+min reduces) and one leaf retest per sub
+            results = []
+            for s in range(n_sub):
+                _, _, _, lid, node8, _ = popped[s]
+                t_cube = tcube_ref[s * 8:(s + 1) * 8, :]
+                tmins = []
+                for c in range(8):
+                    k = node8 * 8 + c
+                    h, tn = slab_gen(clox[k], cloy[k], cloz[k],
+                                     chix[k], chiy[k], chiz[k], s, t_cube)
+                    tmins.append(jnp.min(
+                        jnp.where(h, jnp.maximum(tn, 0.0), jnp.inf)))
+                if leaf_retest:
+                    lh, _ = slab_gen(llox[lid], lloy[lid], lloz[lid],
+                                     lhix[lid], lhiy[lid], lhiz[lid],
+                                     s, t_cube)
+                    leaf_any = jnp.sum(jnp.where(lh, 1, 0))
+                else:
+                    leaf_any = jnp.int32(1)
+                results.append((tmins, leaf_any))
+
+            # phase 2: scalar sort/push or leaf intersect
+            new_sps = []
+            for s in range(n_sub):
+                spp, ent, is_leaf, lid, node8, live = popped[s]
+                tmins, leaf_any = results[s]
+                base = s * 128
+                lanes = slice(s * 1024, (s + 1) * 1024)
+                brow = s * 4
+
+                def do_leaf(q, s=s, lid=lid, lanes=lanes, brow=brow,
+                            leaf_any=leaf_any):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).wait()
+
+                    def intersect(q, s=s, lanes=lanes, brow=brow):
+                        t_lane = best_ref[brow:brow + 1, :]
+                        t_cand, u_c, v_c, ids = _leaf_intersect(
+                            leaf_vmem[s], rays_mat[:, lanes], tmin,
+                            t_lane, block)
+                        t_min = jnp.min(t_cand, axis=0, keepdims=True)
+                        better = t_min < t_lane
+                        at_min = (t_cand == t_min) & (t_cand < 1e30)
+                        selm = lambda a: jnp.max(
+                            jnp.where(at_min, a, -jnp.inf), axis=0,
+                            keepdims=True)
+                        sel_id = jnp.max(jnp.where(at_min, ids, -1),
+                                         axis=0, keepdims=True)
+                        t_new = jnp.where(better, t_min, t_lane)
+                        sel_bits = jax.lax.bitcast_convert_type(
+                            sel_id, jnp.float32)
+                        best_ref[brow:brow + 1, :] = t_new
+                        best_ref[brow + 1:brow + 2, :] = jnp.where(
+                            better, sel_bits,
+                            best_ref[brow + 1:brow + 2, :])
+                        best_ref[brow + 2:brow + 3, :] = jnp.where(
+                            better, selm(u_c),
+                            best_ref[brow + 2:brow + 3, :])
+                        best_ref[brow + 3:brow + 4, :] = jnp.where(
+                            better, selm(v_c),
+                            best_ref[brow + 3:brow + 4, :])
+                        tcube_ref[s * 8:(s + 1) * 8, :] = \
+                            lane_to_cube(t_new)
+                        return q
+                    return jax.lax.cond(leaf_any > 0, intersect,
+                                        lambda q: q, q)
+
+                def do_internal(q, s=s, base=base, node8=node8,
+                                tmins=tmins):
+                    ents = [(tmins[c], cent[node8 * 8 + c])
+                            for c in range(8)]
+                    # push far-first so near pops first; inf (miss/empty)
+                    # keys sort to the FRONT and are skipped by the
+                    # conditional increment (overwritten by later pushes)
+                    for t_c, e_c in _sort8_desc(ents):
+                        stack[base + jnp.minimum(q, 126)] = e_c
+                        q = q + jnp.where(t_c < jnp.inf, 1, 0)
+                    return jnp.minimum(q, 126)
+
+                res = jax.lax.cond(is_leaf, do_leaf, do_internal, spp)
+                new_sps.append(jnp.where(live, res, jnp.int32(0)))
+
+            return (tuple(new_sps), rounds + 1)
+
+        minus1 = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1024), -1, jnp.int32), jnp.float32)
+        for s in range(n_sub):
+            stack[s * 128] = jnp.int32(0)    # root bf8 node
+            t0 = rays_mat[7:8, s * 1024:(s + 1) * 1024]
+            best_ref[s * 4:s * 4 + 1, :] = t0
+            best_ref[s * 4 + 1:s * 4 + 2, :] = minus1
+            best_ref[s * 4 + 2:s * 4 + 3, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            best_ref[s * 4 + 3:s * 4 + 4, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            tcube_ref[s * 8:(s + 1) * 8, :] = cube_ref[s * 8 + 7]
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, body, init)
+        cat = lambda i: jnp.concatenate(
+            [best_ref[s * 4 + i:s * 4 + i + 1, :] for s in range(n_sub)],
+            axis=1)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [cat(0), cat(1), cat(2), cat(3),
+             jnp.full((1, width), rounds, jnp.float32),
+             jnp.zeros((3, width), jnp.float32)], axis=0)
+
+    return kernel
+
+
+def _make_occluded_kernel_bf8(n8: int, n_leaves: int, block: int,
+                              tmin: float, n_sub: int,
+                              leaf_retest: bool = True):
+    """BF8 occlusion: stack-based wide traversal (order irrelevant, so hit
+    children push unsorted), per-sub occlusion masks in VMEM scratch, and
+    the all-occluded early exit packed into the same per-child reduces.
+    Phases as in _make_closest_kernel_bf8."""
+
+    def kernel(clox, cloy, cloz, chix, chiy, chiz, cent, *rest):
+        if leaf_retest:
+            (llox, lloy, lloz, lhix, lhiy, lhiz,
+             pages_ref, rays_ref, cube_ref,
+             out_ref, leaf_vmem, dma_sems, stack,
+             occ_ref, occub_ref) = rest
+        else:
+            (pages_ref, rays_ref, cube_ref,
+             out_ref, leaf_vmem, dma_sems, stack,
+             occ_ref, occub_ref) = rest
+        rays_mat = rays_ref[:]
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz),
+                             cube_ref[s * 8 + 7]))
+
+        def lane_to_cube_i(x):
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_gen(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, s):
+            ox, oy, oz, ix, iy, iz, dist = sub_rays[s]
+            occ_c = occub_ref[s * 8:(s + 1) * 8, :]
+            h, _ = _slab_t(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
+                           ox, oy, oz, ix, iy, iz, dist)
+            return h & (occ_c == 0)
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def body(state):
+            sps, rounds = state
+
+            popped = []
+            for s in range(n_sub):
+                live = sps[s] > 0
+                spp = jnp.maximum(sps[s] - 1, 0)
+                ent = stack[s * 128 + spp]
+                is_leaf = live & (ent >= LEAF_BIT)
+                lid = jnp.clip(ent - LEAF_BIT, 0, n_leaves - 1)
+                node8 = jnp.clip(ent, 0, n8 - 1)
+                popped.append((spp, is_leaf, lid, node8, live))
+
+                def start_dma(q, s=s, lid=lid):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).start()
+                    return q
+                jax.lax.cond(is_leaf, start_dma, lambda q: q, jnp.int32(0))
+
+            results = []
+            for s in range(n_sub):
+                _, _, lid, node8, _ = popped[s]
+                # packed reduces: child-hit counts in pairs, plus the
+                # unoccluded-lane count for the early exit
+                hits = []
+                for c in range(8):
+                    k = node8 * 8 + c
+                    hits.append(slab_gen(clox[k], cloy[k], cloz[k],
+                                         chix[k], chiy[k], chiz[k], s))
+                packs = []
+                for c in range(0, 8, 2):
+                    packs.append(jnp.sum(
+                        jnp.where(hits[c], 1, 0)
+                        + jnp.where(hits[c + 1], 4096, 0)))
+                occ_c = occub_ref[s * 8:(s + 1) * 8, :]
+                if leaf_retest:
+                    lh = slab_gen(llox[lid], lloy[lid], lloz[lid],
+                                  lhix[lid], lhiy[lid], lhiz[lid], s)
+                    lpack = jnp.sum(jnp.where(lh, 1, 0)
+                                    + jnp.where(occ_c == 0, 4096, 0))
+                else:
+                    lpack = 1 + jnp.sum(jnp.where(occ_c == 0, 4096, 0))
+                results.append((packs, lpack))
+
+            new_sps = []
+            for s in range(n_sub):
+                spp, is_leaf, lid, node8, live = popped[s]
+                packs, lpack = results[s]
+                base = s * 128
+                lanes = slice(s * 1024, (s + 1) * 1024)
+                leaf_any = (lpack & 4095) > 0
+                all_occ = (lpack >> 12) == 0
+
+                def do_leaf(q, s=s, lid=lid, lanes=lanes,
+                            leaf_any=leaf_any):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).wait()
+
+                    def intersect(q, s=s, lanes=lanes):
+                        dist_lane = rays_mat[7:8, lanes]
+                        t_cand, _, _, _ = _leaf_intersect(
+                            leaf_vmem[s], rays_mat[:, lanes], tmin,
+                            dist_lane, block)
+                        found = jnp.max(jnp.where(t_cand < 1e30, 1, 0),
+                                        axis=0, keepdims=True)
+                        occ = jnp.maximum(occ_ref[s:s + 1, :], found)
+                        occ_ref[s:s + 1, :] = occ
+                        occub_ref[s * 8:(s + 1) * 8, :] = \
+                            lane_to_cube_i(occ)
+                        return q
+                    return jax.lax.cond(leaf_any, intersect,
+                                        lambda q: q, q)
+
+                def do_internal(q, s=s, base=base, node8=node8,
+                                packs=packs):
+                    for c in range(8):
+                        cnt = (packs[c // 2] & 4095) if c % 2 == 0 \
+                            else (packs[c // 2] >> 12)
+                        stack[base + jnp.minimum(q, 126)] = \
+                            cent[node8 * 8 + c]
+                        q = q + jnp.where(cnt > 0, 1, 0)
+                    return jnp.minimum(q, 126)
+
+                res = jax.lax.cond(is_leaf, do_leaf, do_internal, spp)
+                # all lanes occluded -> drop the whole stack (done)
+                res = jnp.where(all_occ, jnp.int32(0), res)
+                new_sps.append(jnp.where(live, res, jnp.int32(0)))
+
+            return (tuple(new_sps), rounds + 1)
+
+        for s in range(n_sub):
+            stack[s * 128] = jnp.int32(0)
+            occ_ref[s:s + 1, :] = jnp.zeros((1, 1024), jnp.int32)
+            occub_ref[s * 8:(s + 1) * 8, :] = jnp.zeros((8, 128), jnp.int32)
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, body, init)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [jnp.concatenate([occ_ref[s:s + 1, :] for s in range(n_sub)],
+                             axis=1),
+             jnp.full((1, width), rounds, jnp.int32),
+             jnp.zeros((6, width), jnp.int32)], axis=0)
+
+    return kernel
+
+
 def _make_occluded_kernel_v4(n_top: int, block: int, tmin: float,
                              n_sub: int):
     """Phase-split full-vreg occlusion kernel (v4 recipe, see
@@ -1490,6 +1958,49 @@ def packet_closest_v4(pbvh: PacketBVH, origins, dirs, tmax,
 
 
 @functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_closest_bf8(bvh8: BF8BVH, origins, dirs, tmax,
+                       tmin=1e-5) -> Hit:
+    """Closest-hit via the BF8 wide-node kernel — see
+    _make_closest_kernel_bf8."""
+    n = origins.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, tmax, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_closest_kernel_bf8(bvh8.n8, bvh8.n_leaves, bvh8.block,
+                                      tmin, n_sub, bvh8.leaf_retest)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * (13 if bvh8.leaf_retest else 7)
+        + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 8, _page_cols(bvh8.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub,)),
+                        pltpu.SMEM((1024,), jnp.int32),
+                        pltpu.VMEM((n_sub * 4, 1024), jnp.float32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.float32)],
+    )(bvh8.c_lo[:, 0], bvh8.c_lo[:, 1], bvh8.c_lo[:, 2],
+      bvh8.c_hi[:, 0], bvh8.c_hi[:, 1], bvh8.c_hi[:, 2], bvh8.c_ent,
+      *((bvh8.l_lo[:, 0], bvh8.l_lo[:, 1], bvh8.l_lo[:, 2],
+         bvh8.l_hi[:, 0], bvh8.l_hi[:, 1], bvh8.l_hi[:, 2])
+        if bvh8.leaf_retest else ()),
+      bvh8.pages, rays_mat, cube)
+    out = out.reshape(p, 8, width)
+    pick = lambda r: out[:, r, :].reshape(-1)[:n]
+    return Hit(pick(0),
+               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               pick(2), pick(3))
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
 def packet_closest(pbvh: PacketBVH, origins, dirs, tmax, tmin=1e-5) -> Hit:
     """Closest-hit for N rays (padded internally to the packet size)."""
     n = origins.shape[0]
@@ -1539,6 +2050,45 @@ def packet_occluded(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
       pbvh.top_hi[:, 0], pbvh.top_hi[:, 1], pbvh.top_hi[:, 2],
       pbvh.top_miss, pbvh.top_leaf, pbvh.pages, rays_mat)
     occ = occ.reshape(p, 8, 1024)[:, 0, :].reshape(-1)[:n]
+    return occ > 0
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_occluded_bf8(bvh8: BF8BVH, origins, dirs, dist, tmin=1e-5):
+    """Occlusion via the BF8 wide-node kernel — see
+    _make_occluded_kernel_bf8."""
+    n = origins.shape[0]
+    dist = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, dist, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_occluded_kernel_bf8(bvh8.n8, bvh8.n_leaves, bvh8.block,
+                                       tmin, n_sub, bvh8.leaf_retest)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * (13 if bvh8.leaf_retest else 7)
+        + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 8, _page_cols(bvh8.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub,)),
+                        pltpu.SMEM((1024,), jnp.int32),
+                        pltpu.VMEM((n_sub, 1024), jnp.int32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.int32)],
+    )(bvh8.c_lo[:, 0], bvh8.c_lo[:, 1], bvh8.c_lo[:, 2],
+      bvh8.c_hi[:, 0], bvh8.c_hi[:, 1], bvh8.c_hi[:, 2], bvh8.c_ent,
+      *((bvh8.l_lo[:, 0], bvh8.l_lo[:, 1], bvh8.l_lo[:, 2],
+         bvh8.l_hi[:, 0], bvh8.l_hi[:, 1], bvh8.l_hi[:, 2])
+        if bvh8.leaf_retest else ()),
+      bvh8.pages, rays_mat, cube)
+    occ = occ.reshape(p, 8, width)[:, 0, :].reshape(-1)[:n]
     return occ > 0
 
 
