@@ -1,35 +1,50 @@
-"""Packet BVH traversal as a Pallas TPU kernel (MXU leaf tests).
+"""Packet BVH traversal as Pallas TPU kernels (MXU leaf tests).
 
 The production replacement for the reference's hardware ray-tracing pipeline
-(traceRaysKHR over the TLAS). The XLA while-loop traversal
-(pt.accel.traverse) is gather-bound and pathological to compile at scale on
-TPU; this kernel maps the problem onto what the hardware actually has:
+(traceRaysKHR over the TLAS, AccelerationStructure.cpp). The XLA while-loop
+traversal (pt.accel.traverse) is gather-bound and pathological to compile at
+scale on TPU; these kernels map the problem onto what the hardware has:
 
-* **Scalar core + SMEM — tree walk.** A shallow "top tree" (threaded
-  preorder nodes over triangle *blocks*) lives in SMEM, where dynamic
-  scalar indexing is native. One packet of 1024 rays walks the tree
-  together (coherent packet traversal): hit-any → descend, else → skip
-  link. Per step: 8 scalar loads + one slab test on (1, 1024) lanes.
+* **Scalar core + SMEM — tree walk.** A shallow "top tree" over triangle
+  *blocks* lives in SMEM, where dynamic scalar indexing is native. Packets
+  of rays walk it together (coherent packet traversal).
 
-* **MXU + DMA — leaf tests.** Ray–triangle intersection is phrased as a
+* **MXU + DMA — leaf tests.** Ray-triangle intersection is phrased as a
   matmul (Woop affine form): per triangle, the build precomputes the
   inverse-basis transform W = [e1 e2 n]^-1 and offset b = -W*v0, packed so
   that ONE dot_general — page (8, 6B+pad) contracted with the packet's
-  ray matrix (8, 1024) [rows ox,oy,oz,1,dx,dy,dz,0] — yields all six
-  unit-space quantities (o', d') for every (triangle, ray) pair. The
-  remaining per-pair work (t = -o'z/d'z, u, v, bounds tests, masked min)
-  is ~12 VPU ops. FLOPs land on the 128x128 systolic array instead of the
-  vector unit; leaf pages DMA from HBM so scene size is unbounded.
+  ray matrix (8, L) [rows ox,oy,oz,1,dx,dy,dz,tlim] — yields all six
+  unit-space quantities (o', d') for every (triangle, ray) pair. FLOPs land
+  on the systolic array; leaf pages DMA from HBM so scene size is
+  unbounded. f32 accuracy comes from a manual 3-bf16-pass hi/lo split.
 
-Divergence story: a packet visits the union of its rays' nodes. Primary
-rays are coherent by construction; secondary-ray coherence is recovered by
-octant+Morton ray sorting in the integrator. Occlusion queries early-out
-when every lane in the packet is occluded.
+Four kernel generations are kept (v1..v4 + BF8) because each documents a
+measured hardware lesson; benches/bvh_kernels.py A/Bs them:
 
-Shapes: N rays are processed in packets of RAYS_PER_PACKET=1024. Per-ray
-quantities live on lanes as (1, 1024) rows; the ray matrix is (8, 1024).
-Ray count is padded to a power of two by the dispatchers so film
-resolutions share compiled kernel shapes.
+  v1 `packet_closest`      monolithic 1024-ray packet, threaded preorder.
+  v2 `packet_closest_sub`  8x128-lane sub-packets, per-sub SMEM stacks,
+                           ordered near-child-first descent.
+  v3 `packet_closest_v3`   sub-packet = 1024 rays as full (8,128) vregs
+                           (a pre-transposed component cube input), best-hit
+                           state in VMEM scratch.
+  v4 `packet_closest_v4`   phase-split rounds: all slab tests + packed
+                           reduces issued unconditionally BEFORE any scalar
+                           consumption, scalar-only branches, leaf DMAs
+                           prefetched from pure-scalar classification.
+                           (A pop->slab->reduce->branch chain costs ~2.5 us
+                           of scalar<->vector latency; vector ops inside
+                           cond branches force a vector-queue sync.)
+  BF8 `packet_closest_bf8` v4 phases over a branching-factor-8 collapse of
+                           a fine (block 32) tree: one visit tests 8
+                           children, a scalar 8-sort network orders pushes.
+
+Production dispatch (pt.render.integrator.trace_closest/trace_occluded):
+BF8 for static scenes (host-side collapse, build_bf8), v4 for the
+animated/jittable Morton path.
+
+Shapes: N rays are padded to a power of two and processed in programs of
+n_sub*1024 rays; per-ray quantities are full (8, 128) vregs via the cube
+layout, while the ray matrix stays lane-major for the MXU.
 """
 
 from __future__ import annotations
