@@ -67,8 +67,9 @@ TRIS_PER_BLOCK = 64         # B: triangles per leaf block (multiple of 32;
                             # Small blocks win: the post-matmul per-pair
                             # VPU work (~B*L/128 vregs x ~25 ops per leaf
                             # visit) dominates traversal cost.
-MAX_TOP_LEAVES = 4096       # SMEM budget: 2*4096-1 nodes x 8 scalars ~256 KiB
-                            # (verified to compile on v5e Mosaic)
+MAX_TOP_LEAVES = 8192       # SMEM budget: 2*8192-1 nodes x 8 scalars ~512 KiB
+                            # (the real Mosaic SMEM ceiling probes at
+                            # ~768 KiB on v5e; 1 MiB fails to compile)
 MAX_TOP_NODES = 2 * MAX_TOP_LEAVES - 1
 
 # page column layout: six (8, B) operand groups then one id group (lanes)
@@ -173,12 +174,14 @@ def build_bf8(pbvh: PacketBVH):
         children.append(row)
 
     n8 = len(order)
-    # SMEM budget: child bounds 6*(n8*8) + entries (+ leaf bounds)
+    # SMEM budget: child bounds 6*(n8*8) + entries (+ leaf bounds);
+    # the measured Mosaic SMEM ceiling is ~768 KiB — leave headroom for
+    # the stacks and control state
     base_kb = 7 * n8 * 8 * 4 / 1024
     leaf_kb = 6 * n_leaves * 4 / 1024
-    if base_kb > 240:
+    if base_kb > 600:
         return None
-    leaf_retest = base_kb + leaf_kb <= 240
+    leaf_retest = base_kb + leaf_kb <= 640
 
     # empty slots: a degenerate far-away box (lo == hi == 1e30), NOT an
     # inverted inf box — (inf - o) * inv products make inverted-inf boxes
