@@ -142,6 +142,26 @@ class InputCamera(Camera):
             return True
         return False
 
+    def on_update(self, dt: float) -> bool:
+        """Poll the Input shim each frame (≙ InputCamera::OnUpdate,
+        Core/Camera.cpp:82-137: WASD/QE movement, RMB mouse-look). Drivers
+        without an input source (tests, offline) see no pressed keys and
+        this is a no-op; they can still call move()/rotate() directly."""
+        from pt.core.input import Input
+        key = Input.is_key_pressed
+        forward = (1.0 if key("w") else 0.0) - (1.0 if key("s") else 0.0)
+        right = (1.0 if key("d") else 0.0) - (1.0 if key("a") else 0.0)
+        up = (1.0 if key("q") else 0.0) - (1.0 if key("e") else 0.0)
+        changed = False
+        if forward or right or up:
+            changed |= self.move(forward, right, up, dt)
+        if Input.is_mouse_button_pressed(1):        # RMB = mouse-look
+            dx, dy = Input.consume_mouse_delta()
+            changed |= self.rotate(dx, dy)
+        else:
+            Input.consume_mouse_delta()             # drop stale deltas
+        return changed
+
     def rotate(self, dx: float, dy: float) -> bool:
         """Mouse-look: dx/dy in pixels scaled by MOUSE_SENSITIVITY."""
         if InputCamera._input_disabled or (dx == 0 and dy == 0):

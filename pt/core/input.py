@@ -18,6 +18,7 @@ class Input:
     _keys: Dict[str, bool] = {}
     _mouse_buttons: Dict[int, bool] = {}
     _mouse_pos: Tuple[float, float] = (0.0, 0.0)
+    _mouse_delta: Tuple[float, float] = (0.0, 0.0)
     _cursor_locked = False
     _key_release_callback: Optional[Callable[[str], None]] = None
     _ui_focused = False      # ≙ input suppressed when UI focused
@@ -49,6 +50,22 @@ class Input:
     def set_mouse_position(cls, x: float, y: float) -> None:
         with cls._lock:
             cls._mouse_pos = (x, y)
+
+    @classmethod
+    def add_mouse_delta(cls, dx: float, dy: float) -> None:
+        """Accumulate relative mouse motion (pointer-lock style); consumed
+        once per frame by the fly camera (≙ the cursor-delta polling in
+        InputCamera::OnUpdate, Core/Camera.cpp:120-137)."""
+        with cls._lock:
+            cls._mouse_delta = (cls._mouse_delta[0] + dx,
+                                cls._mouse_delta[1] + dy)
+
+    @classmethod
+    def consume_mouse_delta(cls) -> Tuple[float, float]:
+        with cls._lock:
+            d = cls._mouse_delta
+            cls._mouse_delta = (0.0, 0.0)
+            return d
 
     @classmethod
     def get_mouse_position(cls) -> Tuple[float, float]:

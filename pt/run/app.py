@@ -101,9 +101,14 @@ class Application:
             last = now
             with Timer("Frame total"):
                 with Timer("Update"):
-                    changed = (self.renderer.scene.update(dt)
-                               if self.renderer.scene else False)
-                    self.renderer.update_scene_data(scene_changed=changed)
+                    cam_changed = anim_changed = False
+                    if self.renderer.scene:
+                        cam_changed, anim_changed = \
+                            self.renderer.scene.update_split(dt)
+                    self.renderer.update_scene_data(scene_changed=anim_changed)
+                    if cam_changed:
+                        # camera-only move: reset accumulation, keep accel
+                        self.renderer.reset_accumulation()
                 self.renderer.on_update(dt)
                 with Timer("Render"):
                     self.renderer.render()

@@ -71,6 +71,18 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="WxH")
 
     sub.add_parser("stats", help="render one frame and dump the stat board")
+
+    v = sub.add_parser("view", help="live browser viewer with fly camera")
+    v.add_argument("--scene", default="Test Scenes/Default")
+    v.add_argument("--size", type=_parse_size, default=(640, 480),
+                   metavar="WxH")
+    v.add_argument("--bounces", type=int, default=5)
+    v.add_argument("--backend", default="pallas",
+                   choices=["pallas", "bvh", "brute"])
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8000)
+    v.add_argument("--duration", type=float, default=1e30,
+                   help="stop after this many seconds (default: run forever)")
     return p
 
 
@@ -178,10 +190,23 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.viewer import run_viewer
+
+    width, height = args.size
+    app = _load_app(args, width, height)
+    app.renderer.set_settings(PathTracingSettings(
+        sample_count=1, bounce_count=args.bounces, backend=args.backend))
+    run_viewer(app, args.host, args.port, duration_seconds=args.duration)
+    app.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     handlers = {"list-scenes": cmd_list_scenes, "render": cmd_render,
-                "debug": cmd_debug, "stats": cmd_stats}
+                "debug": cmd_debug, "stats": cmd_stats, "view": cmd_view}
     return handlers[args.command](args)
 
 

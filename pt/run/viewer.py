@@ -1,0 +1,239 @@
+"""Live browser viewer: MJPEG stream + WASD/mouse fly-camera input.
+
+Headless stand-in for the reference's interactive window + ImGui control
+surface (Window.cpp:17-143, UserInterface.cpp:1214-1424): the progressive
+film streams to a browser as multipart JPEG, and browser key/mouse events
+feed the `pt.core.input.Input` shim that `InputCamera.on_update` polls —
+the same polling contract as the reference's GLFW input path
+(Core/Input.cpp:31-45, Core/Camera.cpp:82-137).
+
+Controls (mirroring the reference): WASD move, Q/E down/up, hold
+right-mouse-button (or click to pointer-lock) to look around, P pauses
+animation (≙ UserInterface::OnKeyRelease, UserInterface.cpp:202-220).
+
+Serves:
+  GET  /        viewer page
+  GET  /stream  multipart/x-mixed-replace MJPEG of the latest snapshot
+  GET  /frame   single JPEG (poll fallback)
+  GET  /state   JSON render stats
+  POST /input   JSON input events: {"events": [{"type": "key"|"button"|
+                "move", ...}]}
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from pt.core.input import Input
+
+log = logging.getLogger("pt.viewer")
+
+_PAGE = """<!doctype html>
+<html><head><title>pt viewer</title><style>
+  body { margin:0; background:#111; color:#ccc; font:13px monospace;
+         display:flex; flex-direction:column; align-items:center }
+  #v { margin-top:8px; outline:none; image-rendering:auto }
+  #hud { padding:6px }
+</style></head><body>
+<img id="v" src="/stream" tabindex="0" draggable="false">
+<div id="hud">WASD move &middot; Q/E down/up &middot; hold RMB / click to
+look &middot; P pause animation</div>
+<script>
+const v = document.getElementById('v');
+let queue = [];
+function post(ev) {
+  queue.push(ev);
+}
+setInterval(() => {
+  if (!queue.length) return;
+  const events = queue; queue = [];
+  fetch('/input', {method: 'POST', body: JSON.stringify({events})});
+}, 33);
+const keys = 'wasdqep';
+window.addEventListener('keydown', e => {
+  const k = e.key.toLowerCase();
+  if (keys.includes(k) && !e.repeat) post({type:'key', key:k, pressed:true});
+});
+window.addEventListener('keyup', e => {
+  const k = e.key.toLowerCase();
+  if (keys.includes(k)) post({type:'key', key:k, pressed:false});
+});
+v.addEventListener('mousedown', e => {
+  if (e.button === 2) post({type:'button', button:1, pressed:true});
+  else if (e.button === 0 && document.pointerLockElement !== v)
+    v.requestPointerLock();
+});
+window.addEventListener('mouseup', e => {
+  if (e.button === 2) post({type:'button', button:1, pressed:false});
+});
+document.addEventListener('pointerlockchange', () => {
+  post({type:'button', button:1,
+        pressed: document.pointerLockElement === v});
+});
+window.addEventListener('mousemove', e => {
+  const looking = document.pointerLockElement === v || (e.buttons & 2);
+  if (looking && (e.movementX || e.movementY))
+    post({type:'move', dx:e.movementX, dy:e.movementY});
+});
+v.addEventListener('contextmenu', e => e.preventDefault());
+</script></body></html>"""
+
+
+def _encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    from PIL import Image
+    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality)
+    return buf.getvalue()
+
+
+class ViewerServer:
+    """HTTP server owning the latest-frame slot; the render loop pushes
+    frames via publish() (typically from Application.run's on_frame)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 8000,
+                 on_key_release=None):
+        self._frame_lock = threading.Condition()
+        self._jpeg: bytes = _encode_jpeg(np.zeros((8, 8, 3), np.float32))
+        self._seq = 0
+        self._state = {}
+        if on_key_release is not None:
+            Input.set_key_release_callback(on_key_release)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):
+                log.debug(fmt, *args)
+
+            def do_GET(self):
+                if self.path == "/" or self.path.startswith("/index"):
+                    body = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/frame":
+                    jpeg, _ = server.latest()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Length", str(len(jpeg)))
+                    self.end_headers()
+                    self.wfile.write(jpeg)
+                elif self.path == "/state":
+                    body = json.dumps(server._state).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=ptframe")
+                    self.end_headers()
+                    seq = -1
+                    try:
+                        while True:
+                            jpeg, seq = server.latest(after=seq)
+                            self.wfile.write(
+                                b"--ptframe\r\nContent-Type: image/jpeg\r\n"
+                                + f"Content-Length: {len(jpeg)}\r\n\r\n"
+                                .encode())
+                            self.wfile.write(jpeg)
+                            self.wfile.write(b"\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                else:
+                    self.send_error(404)
+
+            def do_POST(self):
+                if self.path != "/input":
+                    self.send_error(404)
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    data = json.loads(self.rfile.read(length) or b"{}")
+                    for ev in data.get("events", []):
+                        kind = ev.get("type")
+                        if kind == "key":
+                            Input.set_key(str(ev["key"]),
+                                          bool(ev["pressed"]))
+                        elif kind == "button":
+                            Input.set_mouse_button(int(ev["button"]),
+                                                   bool(ev["pressed"]))
+                        elif kind == "move":
+                            Input.add_mouse_delta(float(ev["dx"]),
+                                                  float(ev["dy"]))
+                except (ValueError, KeyError) as exc:
+                    log.warning("bad input event: %s", exc)
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+
+    def start(self) -> None:
+        self._thread.start()
+        log.info("viewer at http://%s:%d/", self.host, self.port)
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+
+    def publish(self, img: np.ndarray, state: dict | None = None) -> None:
+        jpeg = _encode_jpeg(img)
+        with self._frame_lock:
+            self._jpeg = jpeg
+            self._seq += 1
+            if state:
+                self._state = state
+            self._frame_lock.notify_all()
+
+    def latest(self, after: int = -1, timeout: float = 5.0):
+        with self._frame_lock:
+            if after >= 0:
+                self._frame_lock.wait_for(lambda: self._seq != after,
+                                          timeout=timeout)
+            return self._jpeg, self._seq
+
+
+def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
+               duration_seconds: float = 1e30) -> int:
+    """Drive Application.run with frames streaming to the browser and
+    browser input driving the fly camera. Blocks until interrupted."""
+
+    def on_key_release(key: str) -> None:
+        # ≙ UserInterface::OnKeyRelease: P toggles animation pause
+        if key == "p" and app.renderer.scene is not None:
+            app.renderer.scene.animation_paused = \
+                not app.renderer.scene.animation_paused
+
+    server = ViewerServer(host, port, on_key_release)
+    server.start()
+    print(f"viewer at http://{server.host}:{server.port}/  (Ctrl-C stops)",
+          flush=True)
+
+    def on_frame(snapshot: np.ndarray, total_samples: int) -> None:
+        server.publish(snapshot, {
+            "total_samples": total_samples,
+            "rays_traced": app.renderer.rays_traced,
+            "size": [app.renderer.width, app.renderer.height]})
+
+    try:
+        return app.run(duration_seconds=duration_seconds, on_frame=on_frame)
+    except KeyboardInterrupt:
+        return 0
+    finally:
+        server.stop()

@@ -126,14 +126,24 @@ class Scene:
     def update(self, dt: float) -> bool:
         """Advance animations; returns True when anything moved
         (≙ Scene::Update, Scene.cpp:52-83)."""
-        changed = False
+        cam_changed, anim_changed = self.update_split(dt)
+        return cam_changed or anim_changed
+
+    def update_split(self, dt: float):
+        """Like update() but reports (camera_changed, geometry_changed)
+        separately: a camera move only resets accumulation, while animated
+        nodes/bones also require transform re-upload + accel rebuild
+        (≙ the reference's distinct camera/scene update paths,
+        Renderer::UpdateSceneData same-scene branch)."""
+        cam_changed = False
         for cam in self.cameras:
-            changed |= cam.on_update(dt)
+            cam_changed |= cam.on_update(dt)
+        anim_changed = False
         if self.graph.has_animations and not self.animation_paused:
             self.graph.update(dt)
             self._refresh_derived()
-            changed = True
-        return changed
+            anim_changed = True
+        return cam_changed, anim_changed
 
     def _refresh_derived(self) -> None:
         current = self.graph.current

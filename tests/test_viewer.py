@@ -1,0 +1,133 @@
+"""Live viewer: input shim → fly camera wiring + HTTP server endpoints
+(≙ the reference's GLFW input polling path, Core/Input.cpp:31-45 →
+InputCamera::OnUpdate, Core/Camera.cpp:82-137)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from pt.core.camera import InputCamera
+from pt.core.input import Input
+
+
+@pytest.fixture(autouse=True)
+def _clean_input():
+    yield
+    for k in "wasdqep":
+        Input.set_key(k, False)
+    Input.set_mouse_button(1, False)
+    Input.consume_mouse_delta()
+    Input.set_ui_focused(False)
+    Input.set_key_release_callback(None)
+
+
+def make_cam():
+    cam = InputCamera(45.0, 0.1, 100.0, (0.0, 0.0, -5.0), (0.0, 0.0, 1.0))
+    cam.on_resize(64, 64)
+    return cam
+
+
+class TestInputCameraPolling:
+    def test_idle_no_change(self):
+        cam = make_cam()
+        assert cam.on_update(1 / 60.0) is False
+
+    def test_wasd_moves(self):
+        cam = make_cam()
+        p0 = cam.position.copy()
+        Input.set_key("w", True)
+        assert cam.on_update(1 / 60.0) is True
+        Input.set_key("w", False)
+        moved = cam.position - p0
+        # forward along +Z view direction
+        assert moved[2] > 0 and abs(moved[0]) < 1e-12
+
+    def test_mouse_look_requires_rmb(self):
+        cam = make_cam()
+        d0 = cam.direction.copy()
+        Input.add_mouse_delta(50.0, 0.0)
+        assert cam.on_update(1 / 60.0) is False      # no RMB: deltas dropped
+        Input.set_mouse_button(1, True)
+        Input.add_mouse_delta(50.0, 0.0)
+        assert cam.on_update(1 / 60.0) is True
+        assert not np.allclose(cam.direction, d0)
+
+    def test_ui_focus_suppresses(self):
+        cam = make_cam()
+        Input.set_key("w", True)
+        Input.set_ui_focused(True)
+        assert cam.on_update(1 / 60.0) is False
+
+    def test_key_release_callback(self):
+        seen = []
+        Input.set_key_release_callback(seen.append)
+        Input.set_key("p", True)
+        Input.set_key("p", False)
+        assert seen == ["p"]
+
+
+class TestScene_UpdateSplit:
+    def test_camera_only_change(self):
+        from pt.scene.examples import make_default_scene
+        scene = make_default_scene()
+        cam_changed, anim_changed = scene.update_split(1 / 60.0)
+        assert (cam_changed, anim_changed) == (False, False)
+        Input.set_key("w", True)
+        cam_changed, anim_changed = scene.update_split(1 / 60.0)
+        assert cam_changed is True and anim_changed is False
+
+
+class TestViewerServer:
+    def test_endpoints_and_input_round_trip(self):
+        from pt.run.viewer import ViewerServer
+        server = ViewerServer(port=0)          # ephemeral port
+        server.start()
+        base = f"http://{server.host}:{server.port}"
+        try:
+            page = urllib.request.urlopen(f"{base}/", timeout=5).read()
+            assert b"/stream" in page
+
+            server.publish(np.full((4, 4, 3), 0.5, np.float32),
+                           {"total_samples": 7})
+            jpeg = urllib.request.urlopen(f"{base}/frame", timeout=5).read()
+            assert jpeg[:2] == b"\xff\xd8"     # JPEG SOI
+
+            state = json.loads(urllib.request.urlopen(
+                f"{base}/state", timeout=5).read())
+            assert state["total_samples"] == 7
+
+            events = {"events": [
+                {"type": "key", "key": "w", "pressed": True},
+                {"type": "button", "button": 1, "pressed": True},
+                {"type": "move", "dx": 3.0, "dy": -2.0}]}
+            req = urllib.request.Request(f"{base}/input",
+                                         data=json.dumps(events).encode(),
+                                         method="POST")
+            assert urllib.request.urlopen(req, timeout=5).status == 204
+            assert Input.is_key_pressed("w")
+            assert Input.is_mouse_button_pressed(1)
+            assert Input.consume_mouse_delta() == (3.0, -2.0)
+        finally:
+            server.stop()
+
+    def test_run_viewer_end_to_end(self):
+        """Drive the full loop: app renders frames into the server while
+        posted input flies the camera (interactive fly-through)."""
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.app import Application
+        from pt.run.viewer import run_viewer
+
+        app = Application()
+        app.init(width=32, height=32)
+        app.renderer.set_settings(PathTracingSettings(
+            sample_count=1, bounce_count=2, backend="brute"))
+        cam = app.renderer.scene.cameras[0]
+        p0 = cam.position.copy()
+
+        Input.set_key("w", True)      # held for the whole fly-through
+        frames = run_viewer(app, port=0, duration_seconds=0.5)
+        Input.set_key("w", False)
+        assert frames >= 1
+        assert not np.array_equal(cam.position, p0)  # camera flew forward
