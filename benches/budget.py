@@ -116,6 +116,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--bounces", type=int, default=5)
+    ap.add_argument("--skip-stages", action="store_true",
+                    help="skip the per-bounce stage timing table")
     args = ap.parse_args()
     W = H = args.width
 
@@ -191,7 +193,7 @@ def main():
     total_est = 0.0
     print("\nper-bounce stage times (full 262k-lane batch, no compaction):",
           flush=True)
-    for b in range(args.bounces):
+    for b in range(args.bounces if not args.skip_stages else 0):
         c = states[b]
         alive = int(jnp.sum(c.alive))
         dt_tr, hit = timed(stage_trace, c.origin, c.direction)
@@ -243,6 +245,121 @@ def main():
     print(f"  sorted union visits: mean {union_s.mean():.1f} "
           f"(waste {union_s.mean() / max(counts.mean(), 1e-9):.1f}x)",
           flush=True)
+
+    # ---- union vs sub size x sort key (kernel design matrix) --------------
+    o_np = np.asarray(o)
+    d_np = np.asarray(d)
+    lo = np.asarray(bvh8.c_lo).min(axis=0)
+    hi = np.asarray(bvh8.c_hi)
+    hi = hi[hi[:, 0] < 1e29].max(axis=0)
+    ext = np.maximum(hi - lo, 1e-9)
+
+    def morton(q, bits):
+        out = np.zeros(q.shape[0], np.uint64)
+        for b in range(bits):
+            for a in range(3):
+                out |= ((q[:, a].astype(np.uint64) >> b) & 1) << \
+                    np.uint64(3 * b + (2 - a))
+        return out
+
+    def key_variant(name):
+        qo = np.clip((o_np - lo) / ext * 512, 0, 511).astype(np.uint64)
+        octant = ((d_np[:, 0] < 0).astype(np.uint64) * np.uint64(4)
+                  + (d_np[:, 1] < 0).astype(np.uint64) * np.uint64(2)
+                  + (d_np[:, 2] < 0).astype(np.uint64))
+        dmorton = morton(np.clip((d_np * 0.5 + 0.5) * 32, 0,
+                                 31).astype(np.uint64), 5)
+        omorton = morton(qo, 9)
+        if name == "none":
+            return None
+        if name == "octant|omorton":           # current production key
+            return (octant << np.uint64(27)) | omorton
+        if name == "omorton|octant":
+            return (omorton << np.uint64(3)) | octant
+        if name == "omorton|dmorton":
+            return (omorton << np.uint64(15)) | dmorton
+        if name == "coarse-o|dmorton":         # 6-bit/axis origin cell
+            qoc = morton((qo >> np.uint64(3)).astype(np.uint64), 6)
+            return (qoc << np.uint64(15)) | dmorton
+
+    print("\nper-sub union by sub size x sort key:", flush=True)
+    print(f"  {'key':>16} " + "".join(f"{s:>8}" for s in
+                                      (128, 256, 512, 1024)), flush=True)
+    for name in ("none", "octant|omorton", "omorton|octant",
+                 "omorton|dmorton", "coarse-o|dmorton"):
+        k = key_variant(name)
+        hh = hits if k is None else hits[:, np.argsort(k, kind="stable")]
+        row = []
+        for size in (128, 256, 512, 1024):
+            u = hh.reshape(hh.shape[0], -1, size).any(axis=2).sum(axis=0)
+            row.append(f"{u.mean():8.1f}")
+        print(f"  {name:>16} " + "".join(row), flush=True)
+
+    # ---- shade internals ---------------------------------------------------
+    print("\nshade breakdown (bounce-1 rays, 262k lanes):", flush=True)
+    c = states[1]
+    hit = jax.block_until_ready(stage_trace(c.origin, c.direction))
+
+    from pt.render.materials import sample_material
+    from pt.render.sampling import compute_tangent_space, sample_light
+    from pt.render.bsdf import evaluate_bsdf, sample_bsdf
+    from pt.render.differentials import (compute_dp_dxy, compute_dpn_duv,
+                                         compute_uv_derivatives)
+
+    tri = jnp.maximum(hit.tri, 0)
+
+    @jax.jit
+    def part_gather(hit):
+        tri = jnp.maximum(hit.tri, 0)
+        return (accel.tri_pos[tri], accel.tri_nrm[tri], accel.tri_tan[tri],
+                accel.tri_bit[tri], accel.tri_uv[tri], ds.tri_mat[tri])
+
+    rp, rn, rt, rb, ru, rowm = jax.block_until_ready(part_gather(hit))
+    bary = jnp.stack([1.0 - hit.u - hit.v, hit.u, hit.v], axis=-1)
+    uv = (ru[:, 0:2] * bary[:, 0:1] + ru[:, 2:4] * bary[:, 1:2]
+          + ru[:, 4:6] * bary[:, 2:3])
+
+    @jax.jit
+    def part_diff(diff):
+        p0, p1, p2 = rp[:, 0:3], rp[:, 3:6], rp[:, 6:9]
+        n0, n1, n2 = rn[:, 0:3], rn[:, 3:6], rn[:, 6:9]
+        pos = p0 * bary[:, 0:1] + p1 * bary[:, 1:2] + p2 * bary[:, 2:3]
+        nrm = n0 * bary[:, 0:1] + n1 * bary[:, 1:2] + n2 * bary[:, 2:3]
+        dpdu, dpdv, dndu, dndv = compute_dpn_duv(
+            p0, p1, p2, ru[:, 0:2], ru[:, 2:4], ru[:, 4:6],
+            n0, n1, n2, rt[:, 0:3], rb[:, 0:3])
+        dpdx, dpdy = compute_dp_dxy(pos, diff, nrm)
+        return compute_uv_derivatives(dpdx, dpdy, dpdu, dpdv)
+
+    @jax.jit
+    def part_material(uv, duv):
+        return sample_material(ds, tex, rowm, uv, jnp.zeros(uv.shape[0],
+                                                            bool), *duv)
+
+    @jax.jit
+    def part_bsdf(mat, state):
+        tbn = compute_tangent_space(rn[:, 0:3])
+        v_local = jnp.einsum("...ji,...j->...i", tbn, -c.direction)
+        st, bs = sample_bsdf(mat, v_local, state)
+        lb, _ = evaluate_bsdf(mat, v_local, v_local)
+        return st, bs.pdf, lb
+
+    timed(part_gather, hit, label="attribute gathers (6 fat rows)")
+    duv = timed(part_diff, c.diff, label="ray differentials -> duv")[1]
+    mat = timed(part_material, uv, duv, label="sample_material (textures)")[1]
+    timed(part_bsdf, mat, c.state, label="bsdf sample+eval")
+
+    # ---- stage cost vs batch size (compaction effectiveness) ---------------
+    print("\nfull bounce stage vs lane count (compaction size classes):",
+          flush=True)
+    from pt.run.renderer import _bounce_jit
+    for k in (262144, 65536, 16384, 4096):
+        sub = jax.tree_util.tree_map(
+            lambda a: a[:k] if getattr(a, "ndim", 0) else a, c)
+        dt, _ = timed(lambda s: _bounce_jit(ds, tex, accel, s, settings,
+                                            True)[0], sub)
+        print(f"  {k:7d} lanes: {dt:7.2f} ms "
+              f"({k / dt / 1e3:.2f} Mlanes/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -201,6 +201,859 @@ def build_bf8(pbvh: PacketBVH):
                   block=pbvh.block, leaf_retest=leaf_retest)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BF8V6:
+    """v6 wide-traversal structure: the BF8 collapse with (a) child and
+    leaf bounds UNIFIED into one SMEM table (leaf rows after the n8*8
+    child rows, so leaf pop-retests reuse the child slab path with a
+    scalar base-row select), and (b) per-(node, octant) precomputed child
+    push orders — farthest-first along the octant direction — replacing
+    the per-visit tnear min-reduces + scalar 8-sort of the BF8 kernel
+    (the CWBVH static-order trick). Measured motivation: each
+    vector->scalar reduce costs a sync; BF8 paid 9 per sub-round, v6
+    pays 1 (children any-flags packed as 8x 4-bit sublane-hit counts in
+    one i32 sum-reduce)."""
+    u_lo: jax.Array          # (n8*8 + n_leaves, 3) f32 (1e30 = empty)
+    u_hi: jax.Array          # (n8*8 + n_leaves, 3) f32
+    c_ent: jax.Array         # (n8*8,) i32 child entry (-1 empty)
+    c_order: jax.Array       # (n8*8,) i32 packed perm per (node, octant)
+    pages: jax.Array         # as PacketBVH.pages
+    n8: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_leaves: int = dataclasses.field(metadata=dict(static=True), default=0)
+    block: int = dataclasses.field(metadata=dict(static=True),
+                                   default=TRIS_PER_BLOCK)
+
+
+def build_bf8_v6(pbvh: PacketBVH):
+    """Derive the v6 structure from a PacketBVH (via the BF8 collapse).
+    Returns None when the unified table would blow the SMEM budget."""
+    b8 = build_bf8(pbvh)
+    if b8 is None:
+        return None
+    c_lo = np.asarray(b8.c_lo)
+    c_hi = np.asarray(b8.c_hi)
+    l_lo = np.asarray(b8.l_lo)
+    l_hi = np.asarray(b8.l_hi)
+    n8, n_leaves = b8.n8, b8.n_leaves
+    # SMEM: unified bounds 6 cols + entries + orders + stacks; measured
+    # Mosaic ceiling ~768 KiB — keep below ~700
+    rows = n8 * 8 + n_leaves
+    kb = (rows * 6 + n8 * 8 * 2) * 4 / 1024
+    if kb > 640:
+        return None
+
+    centers = (c_lo + c_hi) * 0.5                    # (n8*8, 3)
+    orders = np.zeros((n8 * 8,), np.int32)
+    for o in range(8):
+        d = np.asarray([-1.0 if o & 4 else 1.0,
+                        -1.0 if o & 2 else 1.0,
+                        -1.0 if o & 1 else 1.0])
+        key = centers @ d                            # (n8*8,)
+        key = key.reshape(n8, 8)
+        # farthest-first push order so nearest pops first
+        perm = np.argsort(-key, axis=1, kind="stable")   # (n8, 8)
+        packed = np.zeros(n8, np.int64)
+        for j in range(8):
+            packed |= perm[:, j].astype(np.int64) << (3 * j)
+        # layout: c_order[node*8 + octant]
+        orders[np.arange(n8) * 8 + o] = packed.astype(np.int32)
+    u_lo = np.concatenate([c_lo, l_lo], axis=0)
+    u_hi = np.concatenate([c_hi, l_hi], axis=0)
+    return BF8V6(u_lo=jnp.asarray(u_lo), u_hi=jnp.asarray(u_hi),
+                 c_ent=b8.c_ent, c_order=jnp.asarray(orders),
+                 pages=b8.pages, n8=n8, n_leaves=n_leaves, block=b8.block)
+
+
+def _make_closest_kernel_v6k2(n8: int, n_leaves: int, block: int,
+                              tmin: float, n_sub: int):
+    """v6 with TWO pops per sub per round ('k2').
+
+    Measurement showed the packet kernels run ~8.5 us per lockstep round
+    regardless of what the round contains — each round is a serialized
+    scalar<->vector latency chain (pop -> slab -> reduce -> branch), and
+    neither trimming reduces (v6) nor batching leaves (v7) shortened it.
+    k2 instead amortizes: each round pops up to TWO stack entries per sub
+    (top entry e0 and the one below it e1), runs both entries' slab tests
+    and packed reduces in one vector phase, and applies both actions in
+    one scalar phase (e1 first so e0's children end on top — preserving
+    near-first pop order). Two leaf-DMA slots per sub. Visits per
+    latency-chain round double; both entries test against the same
+    entry-t (e1 cannot see e0's same-round tightening — conservative,
+    never wrong)."""
+
+    def kernel(ulox, uloy, uloz, uhix, uhiy, uhiz, cent, corder,
+               pages_ref, rays_ref, cube_ref,
+               out_ref, leaf_vmem, dma_sems, stack, best_ref, tcube_ref,
+               oct_ref):
+        # leaf_vmem (n_sub, 2, 8, PC); dma_sems (n_sub, 2)
+        rays_mat = rays_ref[:]
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+            nx = jnp.sum(jnp.where(dx < 0, 1, 0))
+            ny = jnp.sum(jnp.where(dy < 0, 1, 0))
+            nz = jnp.sum(jnp.where(dz < 0, 1, 0))
+            oct_ref[s] = (jnp.where(nx > 512, 4, 0)
+                          + jnp.where(ny > 512, 2, 0)
+                          + jnp.where(nz > 512, 1, 0))
+
+        def lane_to_cube(x):
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_row(k, s, t_cube):
+            ox, oy, oz, ix, iy, iz = sub_rays[s]
+            return _slab_t(ulox[k], uloy[k], uloz[k],
+                           uhix[k], uhiy[k], uhiz[k],
+                           ox, oy, oz, ix, iy, iz, t_cube)
+
+        def classify(ent, valid):
+            is_leaf = valid & (ent >= LEAF_BIT)
+            lid = jnp.clip(ent - LEAF_BIT, 0, n_leaves - 1)
+            node8 = jnp.clip(ent, 0, n8 - 1)
+            base_row = jnp.where(is_leaf, n8 * 8 + lid, node8 * 8)
+            child_step = jnp.where(is_leaf, 0, 1)
+            return is_leaf, lid, node8, base_row, child_step
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def body(state):
+            sps, rounds = state
+
+            popped = []                        # per sub: two entries
+            for s in range(n_sub):
+                v0 = sps[s] > 0
+                v1 = sps[s] > 1
+                sp0 = jnp.maximum(sps[s] - 1, 0)
+                sp1 = jnp.maximum(sps[s] - 2, 0)
+                e0 = stack[s * 128 + sp0]
+                e1 = stack[s * 128 + sp1]
+                c0 = classify(e0, v0)
+                c1 = classify(e1, v1)
+                popped.append((sp1, v0, v1, c0, c1))
+                for slot, (cl, v) in enumerate(((c0, v0), (c1, v1))):
+                    is_leaf, lid = cl[0], cl[1]
+
+                    def sd(q, s=s, lid=lid, slot=slot):
+                        pltpu.make_async_copy(pages_ref.at[lid],
+                                              leaf_vmem.at[s, slot],
+                                              dma_sems.at[s, slot]).start()
+                        return q
+                    jax.lax.cond(is_leaf, sd, lambda q: q, jnp.int32(0))
+
+            flags = []                         # (fl0, fl1) per sub
+            for s in range(n_sub):
+                _, _, _, c0, c1 = popped[s]
+                t_cube = tcube_ref[s * 8:(s + 1) * 8, :]
+                fl = []
+                for cl in (c0, c1):
+                    base_row, child_step = cl[3], cl[4]
+                    pack = None
+                    for c in range(8):
+                        h, _ = slab_row(base_row + c * child_step, s, t_cube)
+                        b = jnp.max(jnp.where(h, 1, 0), axis=1,
+                                    keepdims=True)
+                        term = b << (4 * c)
+                        pack = term if pack is None else pack + term
+                    fl.append(jnp.sum(pack))
+                flags.append(tuple(fl))
+
+            new_sps = []
+            for s in range(n_sub):
+                sp1, v0, v1, c0, c1 = popped[s]
+                fl0, fl1 = flags[s]
+                base = s * 128
+                lanes = slice(s * 1024, (s + 1) * 1024)
+                brow = s * 4
+
+                def leaf_action(q, lid, slot, fl, s=s, lanes=lanes,
+                                brow=brow):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s, slot],
+                                          dma_sems.at[s, slot]).wait()
+
+                    def intersect(q, s=s, lanes=lanes, brow=brow, slot=slot):
+                        t_lane = best_ref[brow:brow + 1, :]
+                        t_cand, u_c, v_c, ids = _leaf_intersect(
+                            leaf_vmem[s, slot], rays_mat[:, lanes], tmin,
+                            t_lane, block)
+                        t_min = jnp.min(t_cand, axis=0, keepdims=True)
+                        better = t_min < t_lane
+                        at_min = (t_cand == t_min) & (t_cand < 1e30)
+                        selm = lambda a: jnp.max(
+                            jnp.where(at_min, a, -jnp.inf), axis=0,
+                            keepdims=True)
+                        sel_id = jnp.max(jnp.where(at_min, ids, -1),
+                                         axis=0, keepdims=True)
+                        t_new = jnp.where(better, t_min, t_lane)
+                        sel_bits = jax.lax.bitcast_convert_type(
+                            sel_id, jnp.float32)
+                        best_ref[brow:brow + 1, :] = t_new
+                        best_ref[brow + 1:brow + 2, :] = jnp.where(
+                            better, sel_bits,
+                            best_ref[brow + 1:brow + 2, :])
+                        best_ref[brow + 2:brow + 3, :] = jnp.where(
+                            better, selm(u_c),
+                            best_ref[brow + 2:brow + 3, :])
+                        best_ref[brow + 3:brow + 4, :] = jnp.where(
+                            better, selm(v_c),
+                            best_ref[brow + 3:brow + 4, :])
+                        tcube_ref[s * 8:(s + 1) * 8, :] = \
+                            lane_to_cube(t_new)
+                        return q
+                    return jax.lax.cond((fl & 0xF) > 0, intersect,
+                                        lambda q: q, q)
+
+                def internal_action(q, node8, fl, s=s, base=base):
+                    perm = corder[node8 * 8 + oct_ref[s]]
+                    for j in range(8):
+                        c = (perm >> (3 * j)) & 7
+                        cnt = (fl >> (4 * c)) & 0xF
+                        stack[base + jnp.minimum(q, 126)] = \
+                            cent[node8 * 8 + c]
+                        q = q + jnp.where(cnt > 0, 1, 0)
+                    return jnp.minimum(q, 126)
+
+                q = sp1
+                # e1 first (deeper entry), e0 last so its children pop first
+                for (cl, v, fl, slot) in ((c1, v1, fl1, 1),
+                                          (c0, v0, fl0, 0)):
+                    is_leaf, lid, node8 = cl[0], cl[1], cl[2]
+
+                    def act(q, is_leaf=is_leaf, lid=lid, node8=node8,
+                            fl=fl, slot=slot):
+                        return jax.lax.cond(
+                            is_leaf,
+                            lambda qq: leaf_action(qq, lid, slot, fl),
+                            lambda qq: internal_action(qq, node8, fl), q)
+
+                    # leaves must always drain their prefetched DMA;
+                    # invalid entries did not prefetch, so full gate is OK
+                    q = jax.lax.cond(v, act, lambda qq: qq, q)
+                new_sps.append(q)
+
+            return (tuple(new_sps), rounds + 1)
+
+        minus1 = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1024), -1, jnp.int32), jnp.float32)
+        for s in range(n_sub):
+            stack[s * 128] = jnp.int32(0)
+            t0 = rays_mat[7:8, s * 1024:(s + 1) * 1024]
+            best_ref[s * 4:s * 4 + 1, :] = t0
+            best_ref[s * 4 + 1:s * 4 + 2, :] = minus1
+            best_ref[s * 4 + 2:s * 4 + 3, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            best_ref[s * 4 + 3:s * 4 + 4, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            tcube_ref[s * 8:(s + 1) * 8, :] = cube_ref[s * 8 + 7]
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, body, init)
+        cat = lambda i: jnp.concatenate(
+            [best_ref[s * 4 + i:s * 4 + i + 1, :] for s in range(n_sub)],
+            axis=1)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [cat(0), cat(1), cat(2), cat(3),
+             jnp.full((1, width), rounds, jnp.float32),
+             jnp.zeros((3, width), jnp.float32)], axis=0)
+
+    return kernel
+
+
+def _make_closest_kernel_v6(n8: int, n_leaves: int, block: int,
+                            tmin: float, n_sub: int):
+    """v6 closest-hit: BF8 phases with ONE packed reduce per sub-round and
+    static octant-ordered pushes (see BF8V6). Per round and sub:
+      phase 0 (scalar)  pop + classify + leaf DMA prefetch; unified-table
+                        base row selects leaf vs child bounds
+      phase 1 (vector)  8 slab tests; per-child (8,1) sublane-hit flags
+                        packed 4 bits each into ONE i32 sum-reduce
+      phase 2 (scalar)  leaf: DMA wait + MXU intersect when field 0 hits;
+                        internal: push children in c_order[node, octant]
+                        order, advancing only on hit fields
+    The sub's direction octant is computed once at kernel start (majority
+    vote, 3 reduces amortized over the whole traversal)."""
+
+    def kernel(ulox, uloy, uloz, uhix, uhiy, uhiz, cent, corder,
+               pages_ref, rays_ref, cube_ref,
+               out_ref, leaf_vmem, dma_sems, stack, best_ref, tcube_ref,
+               oct_ref):
+        rays_mat = rays_ref[:]                   # (8, n_sub*1024)
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+            # majority direction octant for the static push order
+            nx = jnp.sum(jnp.where(dx < 0, 1, 0))
+            ny = jnp.sum(jnp.where(dy < 0, 1, 0))
+            nz = jnp.sum(jnp.where(dz < 0, 1, 0))
+            oct_ref[s] = (jnp.where(nx > 512, 4, 0)
+                          + jnp.where(ny > 512, 2, 0)
+                          + jnp.where(nz > 512, 1, 0))
+
+        def lane_to_cube(x):
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_row(k, s, t_cube):
+            ox, oy, oz, ix, iy, iz = sub_rays[s]
+            return _slab_t(ulox[k], uloy[k], uloz[k],
+                           uhix[k], uhiy[k], uhiz[k],
+                           ox, oy, oz, ix, iy, iz, t_cube)
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def body(state):
+            sps, rounds = state
+
+            # phase 0: scalar pop/classify + DMA prefetch
+            popped = []
+            for s in range(n_sub):
+                live = sps[s] > 0
+                spp = jnp.maximum(sps[s] - 1, 0)
+                ent = stack[s * 128 + spp]
+                is_leaf = live & (ent >= LEAF_BIT)
+                lid = jnp.clip(ent - LEAF_BIT, 0, n_leaves - 1)
+                node8 = jnp.clip(ent, 0, n8 - 1)
+                # unified-table base row: leaf rows start at n8*8
+                base_row = jnp.where(is_leaf, n8 * 8 + lid, node8 * 8)
+                child_step = jnp.where(is_leaf, 0, 1)
+                popped.append((spp, is_leaf, lid, node8, base_row,
+                               child_step, live))
+
+                def start_dma(q, s=s, lid=lid):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).start()
+                    return q
+                jax.lax.cond(is_leaf, start_dma, lambda q: q, jnp.int32(0))
+
+            # phase 1: 8 slab tests + ONE packed reduce per sub
+            flags = []
+            for s in range(n_sub):
+                _, _, _, _, base_row, child_step, _ = popped[s]
+                t_cube = tcube_ref[s * 8:(s + 1) * 8, :]
+                pack = None
+                for c in range(8):
+                    h, _ = slab_row(base_row + c * child_step, s, t_cube)
+                    # per-sublane any: (8,128) -> (8,1), stays vector
+                    b = jnp.max(jnp.where(h, 1, 0), axis=1, keepdims=True)
+                    term = b << (4 * c)
+                    pack = term if pack is None else pack + term
+                # field c = sublane-hit count of child c (<= 8, 4 bits;
+                # the c=7 field may carry into the sign bit — reads mask)
+                flags.append(jnp.sum(pack))
+
+            # phase 2: scalar control
+            new_sps = []
+            for s in range(n_sub):
+                spp, is_leaf, lid, node8, _, _, live = popped[s]
+                fl = flags[s]
+                base = s * 128
+                lanes = slice(s * 1024, (s + 1) * 1024)
+                brow = s * 4
+
+                def do_leaf(q, s=s, lid=lid, lanes=lanes, brow=brow, fl=fl):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).wait()
+
+                    def intersect(q, s=s, lanes=lanes, brow=brow):
+                        t_lane = best_ref[brow:brow + 1, :]
+                        t_cand, u_c, v_c, ids = _leaf_intersect(
+                            leaf_vmem[s], rays_mat[:, lanes], tmin,
+                            t_lane, block)
+                        t_min = jnp.min(t_cand, axis=0, keepdims=True)
+                        better = t_min < t_lane
+                        at_min = (t_cand == t_min) & (t_cand < 1e30)
+                        selm = lambda a: jnp.max(
+                            jnp.where(at_min, a, -jnp.inf), axis=0,
+                            keepdims=True)
+                        sel_id = jnp.max(jnp.where(at_min, ids, -1),
+                                         axis=0, keepdims=True)
+                        t_new = jnp.where(better, t_min, t_lane)
+                        sel_bits = jax.lax.bitcast_convert_type(
+                            sel_id, jnp.float32)
+                        best_ref[brow:brow + 1, :] = t_new
+                        best_ref[brow + 1:brow + 2, :] = jnp.where(
+                            better, sel_bits,
+                            best_ref[brow + 1:brow + 2, :])
+                        best_ref[brow + 2:brow + 3, :] = jnp.where(
+                            better, selm(u_c),
+                            best_ref[brow + 2:brow + 3, :])
+                        best_ref[brow + 3:brow + 4, :] = jnp.where(
+                            better, selm(v_c),
+                            best_ref[brow + 3:brow + 4, :])
+                        tcube_ref[s * 8:(s + 1) * 8, :] = \
+                            lane_to_cube(t_new)
+                        return q
+                    return jax.lax.cond((fl & 0xF) > 0, intersect,
+                                        lambda q: q, q)
+
+                def do_internal(q, s=s, base=base, node8=node8, fl=fl):
+                    perm = corder[node8 * 8 + oct_ref[s]]
+                    for j in range(8):
+                        c = (perm >> (3 * j)) & 7
+                        cnt = (fl >> (4 * c)) & 0xF
+                        stack[base + jnp.minimum(q, 126)] = \
+                            cent[node8 * 8 + c]
+                        q = q + jnp.where(cnt > 0, 1, 0)
+                    return jnp.minimum(q, 126)
+
+                res = jax.lax.cond(is_leaf, do_leaf, do_internal, spp)
+                new_sps.append(jnp.where(live, res, jnp.int32(0)))
+
+            return (tuple(new_sps), rounds + 1)
+
+        minus1 = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1024), -1, jnp.int32), jnp.float32)
+        for s in range(n_sub):
+            stack[s * 128] = jnp.int32(0)
+            t0 = rays_mat[7:8, s * 1024:(s + 1) * 1024]
+            best_ref[s * 4:s * 4 + 1, :] = t0
+            best_ref[s * 4 + 1:s * 4 + 2, :] = minus1
+            best_ref[s * 4 + 2:s * 4 + 3, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            best_ref[s * 4 + 3:s * 4 + 4, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            tcube_ref[s * 8:(s + 1) * 8, :] = cube_ref[s * 8 + 7]
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, body, init)
+        cat = lambda i: jnp.concatenate(
+            [best_ref[s * 4 + i:s * 4 + i + 1, :] for s in range(n_sub)],
+            axis=1)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [cat(0), cat(1), cat(2), cat(3),
+             jnp.full((1, width), rounds, jnp.float32),
+             jnp.zeros((3, width), jnp.float32)], axis=0)
+
+    return kernel
+
+
+def _make_closest_kernel_v7(n8: int, n_leaves: int, block: int,
+                            tmin: float, n_sub: int,
+                            window: int = 8, qcap: int = 48):
+    """v7: windowed leaf-queue traversal (the 'leaf-intersect phase
+    batching' lever from the round-1 roadmap).
+
+    The BF8/v6 kernels run the MXU leaf intersect inside a scalar branch —
+    a vector-in-branch that forces a vector-queue sync per leaf visit.
+    v7 splits each macro-iteration into:
+
+      A. `window` traversal rounds that only PUSH leaf ids into a per-sub
+         SMEM queue (pop + 8 slab tests + one packed reduce + scalar
+         pushes; subs with a full queue stall);
+      B. a branch-free drain: all queued leaves are intersected in a
+         fori_loop with double-buffered page DMAs (issue j+1 while
+         computing j) and UNCONDITIONAL vector work — lanes of exhausted
+         queues are masked by a -inf t-limit select, never a branch.
+         t_best tightens after every intersect (lane-major only); the
+         slab-side (8,128) t mirror refreshes ONCE per drain.
+
+    Cost model: leaf visits drop from ~(sync + VPU) to pipelined VPU;
+    the t-prune feedback is delayed by up to `window` rounds + queue
+    depth, which costs a few extra queued leaves on deep traversals —
+    measured A/B against v6/BF8 in benches/bvh_kernels.py."""
+
+    def kernel(ulox, uloy, uloz, uhix, uhiy, uhiz, cent, corder,
+               pages_ref, rays_ref, cube_ref,
+               out_ref, leaf_vmem, dma_sems, stack, queue, best_ref,
+               tcube_ref, oct_ref):
+        # leaf_vmem (n_sub, 2, 8, page_cols): double-buffered page slots
+        # queue SMEM (n_sub * 64,): per-sub leaf-id queues
+        rays_mat = rays_ref[:]
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+            nx = jnp.sum(jnp.where(dx < 0, 1, 0))
+            ny = jnp.sum(jnp.where(dy < 0, 1, 0))
+            nz = jnp.sum(jnp.where(dz < 0, 1, 0))
+            oct_ref[s] = (jnp.where(nx > 512, 4, 0)
+                          + jnp.where(ny > 512, 2, 0)
+                          + jnp.where(nz > 512, 1, 0))
+
+        def lane_to_cube(x):
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_row(k, s, t_cube):
+            ox, oy, oz, ix, iy, iz = sub_rays[s]
+            return _slab_t(ulox[k], uloy[k], uloz[k],
+                           uhix[k], uhiy[k], uhiz[k],
+                           ox, oy, oz, ix, iy, iz, t_cube)
+
+        def traverse_round(sps, qls):
+            """One lockstep traversal round over all subs (phase A body).
+            Leaf pops append to the queue; internal pops push children."""
+            popped = []
+            for s in range(n_sub):
+                # stall when the queue is (nearly) full: popping a leaf
+                # must always have queue space
+                can = (sps[s] > 0) & (qls[s] < qcap)
+                spp = jnp.maximum(sps[s] - 1, 0)
+                ent = stack[s * 128 + spp]
+                is_leaf = can & (ent >= LEAF_BIT)
+                lid = jnp.clip(ent - LEAF_BIT, 0, n_leaves - 1)
+                node8 = jnp.clip(ent, 0, n8 - 1)
+                base_row = jnp.where(is_leaf, n8 * 8 + lid, node8 * 8)
+                child_step = jnp.where(is_leaf, 0, 1)
+                popped.append((spp, is_leaf, lid, node8, base_row,
+                               child_step, can))
+
+            flags = []
+            for s in range(n_sub):
+                _, _, _, _, base_row, child_step, _ = popped[s]
+                t_cube = tcube_ref[s * 8:(s + 1) * 8, :]
+                pack = None
+                for c in range(8):
+                    h, _ = slab_row(base_row + c * child_step, s, t_cube)
+                    b = jnp.max(jnp.where(h, 1, 0), axis=1, keepdims=True)
+                    term = b << (4 * c)
+                    pack = term if pack is None else pack + term
+                flags.append(jnp.sum(pack))
+
+            new_sps, new_qls = [], []
+            for s in range(n_sub):
+                spp, is_leaf, lid, node8, _, _, can = popped[s]
+                fl = flags[s]
+                base = s * 128
+
+                def do_leaf(args, s=s, lid=lid, fl=fl):
+                    q, ql = args
+                    queue[s * 64 + jnp.minimum(ql, 63)] = lid
+                    return q, ql + jnp.where((fl & 0xF) > 0, 1, 0)
+
+                def do_internal(args, s=s, base=base, node8=node8, fl=fl):
+                    q, ql = args
+                    perm = corder[node8 * 8 + oct_ref[s]]
+                    for j in range(8):
+                        c = (perm >> (3 * j)) & 7
+                        cnt = (fl >> (4 * c)) & 0xF
+                        stack[base + jnp.minimum(q, 126)] = \
+                            cent[node8 * 8 + c]
+                        q = q + jnp.where(cnt > 0, 1, 0)
+                    return jnp.minimum(q, 126), ql
+
+                def active(args, is_leaf=is_leaf, do_leaf=do_leaf,
+                           do_internal=do_internal):
+                    return jax.lax.cond(is_leaf, do_leaf, do_internal, args)
+
+                # stalled/dead subs must not touch their stack or queue
+                # (their pop is replayed next round)
+                res = jax.lax.cond(can, active, lambda a: a,
+                                   (spp, qls[s]))
+                new_sps.append(jnp.where(can, res[0], sps[s]))
+                new_qls.append(jnp.where(can, res[1], qls[s]))
+            return tuple(new_sps), tuple(new_qls)
+
+        def drain(qls):
+            """Phase B: branch-free pipelined intersect of all queues."""
+            def start_dma(s, j, ql, slot):
+                # clamp: queues shorter than max_q re-fetch their last
+                # entry; empty queues may read uninitialized SMEM, so the
+                # lid itself is clamped to a valid page
+                lid = queue[s * 64 + jnp.minimum(j, jnp.maximum(ql - 1, 0))]
+                lid = jnp.clip(lid, 0, n_leaves - 1)
+                pltpu.make_async_copy(pages_ref.at[lid],
+                                      leaf_vmem.at[s, slot],
+                                      dma_sems.at[s, slot]).start()
+
+            max_q = qls[0]
+            for s in range(1, n_sub):
+                max_q = jnp.maximum(max_q, qls[s])
+
+            def warm(_):
+                for s in range(n_sub):
+                    start_dma(s, jnp.int32(0), qls[s], jnp.int32(0))
+                return jnp.int32(0)
+            jax.lax.cond(max_q > 0, warm, lambda q: q, jnp.int32(0))
+
+            def body(j, _):
+                slot = j % 2
+                nxt = (j + 1) % 2
+
+                def prefetch(q):
+                    for s in range(n_sub):
+                        start_dma(s, j + 1, qls[s], nxt)
+                    return q
+                jax.lax.cond(j + 1 < max_q, prefetch, lambda q: q,
+                             jnp.int32(0))
+
+                for s in range(n_sub):
+                    lanes = slice(s * 1024, (s + 1) * 1024)
+                    brow = s * 4
+                    # wait amount is the (constant) page size; index 0
+                    # keeps the descriptor shape identical to the start
+                    pltpu.make_async_copy(
+                        pages_ref.at[jnp.int32(0)],
+                        leaf_vmem.at[s, slot],
+                        dma_sems.at[s, slot]).wait()
+                    live = j < qls[s]
+                    t_lane = best_ref[brow:brow + 1, :]
+                    # masked t-limit: exhausted queues intersect against
+                    # -inf and can never improve (no branch)
+                    t_lim = jnp.where(live, t_lane,
+                                      jnp.full((1, 1024), -jnp.inf))
+                    t_cand, u_c, v_c, ids = _leaf_intersect(
+                        leaf_vmem[s, slot], rays_mat[:, lanes], tmin,
+                        t_lim, block)
+                    t_min = jnp.min(t_cand, axis=0, keepdims=True)
+                    better = t_min < t_lim
+                    at_min = (t_cand == t_min) & (t_cand < 1e30)
+                    selm = lambda a: jnp.max(
+                        jnp.where(at_min, a, -jnp.inf), axis=0,
+                        keepdims=True)
+                    sel_id = jnp.max(jnp.where(at_min, ids, -1), axis=0,
+                                     keepdims=True)
+                    sel_bits = jax.lax.bitcast_convert_type(sel_id,
+                                                            jnp.float32)
+                    best_ref[brow:brow + 1, :] = jnp.where(
+                        better, t_min, t_lane)
+                    best_ref[brow + 1:brow + 2, :] = jnp.where(
+                        better, sel_bits, best_ref[brow + 1:brow + 2, :])
+                    best_ref[brow + 2:brow + 3, :] = jnp.where(
+                        better, selm(u_c), best_ref[brow + 2:brow + 3, :])
+                    best_ref[brow + 3:brow + 4, :] = jnp.where(
+                        better, selm(v_c), best_ref[brow + 3:brow + 4, :])
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(0, max_q, body, jnp.int32(0))
+            # refresh the slab-side t mirror once per drain
+            for s in range(n_sub):
+                tcube_ref[s * 8:(s + 1) * 8, :] = lane_to_cube(
+                    best_ref[s * 4:s * 4 + 1, :])
+
+        def cond(state):
+            sps, rounds = state
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def macro(state):
+            sps, rounds = state
+            qls = tuple(jnp.int32(0) for _ in range(n_sub))
+            for _ in range(window):
+                sps, qls = traverse_round(sps, qls)
+            any_q = qls[0]
+            for s in range(1, n_sub):
+                any_q = any_q + qls[s]
+            jax.lax.cond(any_q > 0, lambda q: (drain(qls), q)[1],
+                         lambda q: q, jnp.int32(0))
+            return sps, rounds + window
+
+        minus1 = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1024), -1, jnp.int32), jnp.float32)
+        for s in range(n_sub):
+            stack[s * 128] = jnp.int32(0)
+            t0 = rays_mat[7:8, s * 1024:(s + 1) * 1024]
+            best_ref[s * 4:s * 4 + 1, :] = t0
+            best_ref[s * 4 + 1:s * 4 + 2, :] = minus1
+            best_ref[s * 4 + 2:s * 4 + 3, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            best_ref[s * 4 + 3:s * 4 + 4, :] = jnp.zeros((1, 1024),
+                                                         jnp.float32)
+            tcube_ref[s * 8:(s + 1) * 8, :] = cube_ref[s * 8 + 7]
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, macro, init)
+        cat = lambda i: jnp.concatenate(
+            [best_ref[s * 4 + i:s * 4 + i + 1, :] for s in range(n_sub)],
+            axis=1)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [cat(0), cat(1), cat(2), cat(3),
+             jnp.full((1, width), rounds, jnp.float32),
+             jnp.zeros((3, width), jnp.float32)], axis=0)
+
+    return kernel
+
+
+def _make_occluded_kernel_v6(n8: int, n_leaves: int, block: int,
+                             tmin: float, n_sub: int):
+    """v6 occlusion: unified table + TWO reduces per sub-round (packed
+    child flags, unoccluded-lane count for the all-occluded early exit);
+    no ordering (occlusion is order-independent, children push unsorted)."""
+
+    def kernel(ulox, uloy, uloz, uhix, uhiy, uhiz, cent,
+               pages_ref, rays_ref, cube_ref,
+               out_ref, leaf_vmem, dma_sems, stack, occ_ref, occub_ref):
+        rays_mat = rays_ref[:]
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []
+        for s in range(n_sub):
+            ox = cube_ref[s * 8 + 0]
+            oy = cube_ref[s * 8 + 1]
+            oz = cube_ref[s * 8 + 2]
+            dx = cube_ref[s * 8 + 4]
+            dy = cube_ref[s * 8 + 5]
+            dz = cube_ref[s * 8 + 6]
+            sub_rays.append((ox, oy, oz,
+                             safe_inv(dx), safe_inv(dy), safe_inv(dz),
+                             cube_ref[s * 8 + 7]))
+
+        def lane_to_cube_i(x):
+            return jnp.concatenate(
+                [x[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_row(k, s):
+            ox, oy, oz, ix, iy, iz, dist = sub_rays[s]
+            occ_c = occub_ref[s * 8:(s + 1) * 8, :]
+            h, _ = _slab_t(ulox[k], uloy[k], uloz[k],
+                           uhix[k], uhiy[k], uhiz[k],
+                           ox, oy, oz, ix, iy, iz, dist)
+            return h & (occ_c == 0)
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def body(state):
+            sps, rounds = state
+
+            popped = []
+            for s in range(n_sub):
+                live = sps[s] > 0
+                spp = jnp.maximum(sps[s] - 1, 0)
+                ent = stack[s * 128 + spp]
+                is_leaf = live & (ent >= LEAF_BIT)
+                lid = jnp.clip(ent - LEAF_BIT, 0, n_leaves - 1)
+                node8 = jnp.clip(ent, 0, n8 - 1)
+                base_row = jnp.where(is_leaf, n8 * 8 + lid, node8 * 8)
+                child_step = jnp.where(is_leaf, 0, 1)
+                popped.append((spp, is_leaf, lid, node8, base_row,
+                               child_step, live))
+
+                def start_dma(q, s=s, lid=lid):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).start()
+                    return q
+                jax.lax.cond(is_leaf, start_dma, lambda q: q, jnp.int32(0))
+
+            flags = []
+            for s in range(n_sub):
+                _, _, _, _, base_row, child_step, _ = popped[s]
+                pack = None
+                for c in range(8):
+                    h = slab_row(base_row + c * child_step, s)
+                    b = jnp.max(jnp.where(h, 1, 0), axis=1, keepdims=True)
+                    term = b << (4 * c)
+                    pack = term if pack is None else pack + term
+                occ_c = occub_ref[s * 8:(s + 1) * 8, :]
+                flags.append((jnp.sum(pack),
+                              jnp.sum(jnp.where(occ_c == 0, 1, 0))))
+
+            new_sps = []
+            for s in range(n_sub):
+                spp, is_leaf, lid, node8, _, _, live = popped[s]
+                fl, unocc = flags[s]
+                base = s * 128
+                lanes = slice(s * 1024, (s + 1) * 1024)
+
+                def do_leaf(q, s=s, lid=lid, lanes=lanes, fl=fl):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).wait()
+
+                    def intersect(q, s=s, lanes=lanes):
+                        dist_lane = rays_mat[7:8, lanes]
+                        t_cand, _, _, _ = _leaf_intersect(
+                            leaf_vmem[s], rays_mat[:, lanes], tmin,
+                            dist_lane, block)
+                        found = jnp.max(jnp.where(t_cand < 1e30, 1, 0),
+                                        axis=0, keepdims=True)
+                        occ = jnp.maximum(occ_ref[s:s + 1, :], found)
+                        occ_ref[s:s + 1, :] = occ
+                        occub_ref[s * 8:(s + 1) * 8, :] = \
+                            lane_to_cube_i(occ)
+                        return q
+                    return jax.lax.cond((fl & 0xF) > 0, intersect,
+                                        lambda q: q, q)
+
+                def do_internal(q, s=s, base=base, node8=node8, fl=fl):
+                    for c in range(8):
+                        cnt = (fl >> (4 * c)) & 0xF
+                        stack[base + jnp.minimum(q, 126)] = \
+                            cent[node8 * 8 + c]
+                        q = q + jnp.where(cnt > 0, 1, 0)
+                    return jnp.minimum(q, 126)
+
+                res = jax.lax.cond(is_leaf, do_leaf, do_internal, spp)
+                res = jnp.where(unocc == 0, jnp.int32(0), res)
+                new_sps.append(jnp.where(live, res, jnp.int32(0)))
+
+            return (tuple(new_sps), rounds + 1)
+
+        for s in range(n_sub):
+            stack[s * 128] = jnp.int32(0)
+            occ_ref[s:s + 1, :] = jnp.zeros((1, 1024), jnp.int32)
+            occub_ref[s * 8:(s + 1) * 8, :] = jnp.zeros((8, 128), jnp.int32)
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
+        _, rounds = jax.lax.while_loop(cond, body, init)
+        width = n_sub * 1024
+        out_ref[:] = jnp.concatenate(
+            [jnp.concatenate([occ_ref[s:s + 1, :] for s in range(n_sub)],
+                             axis=1),
+             jnp.full((1, width), rounds, jnp.int32),
+             jnp.zeros((6, width), jnp.int32)], axis=0)
+
+    return kernel
+
+
 def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np):
     """Pack per-leaf matmul operand pages from (T_pad, 3) triangle data in
     leaf order. tri_ids: (T_pad,) int32 with -1 padding. Returns
@@ -2016,6 +2869,158 @@ def packet_closest_bf8(bvh8: BF8BVH, origins, dirs, tmax,
     return Hit(pick(0),
                jax.lax.bitcast_convert_type(pick(1), jnp.int32),
                pick(2), pick(3))
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_closest_v6(bvh6: BF8V6, origins, dirs, tmax, tmin=1e-5) -> Hit:
+    """Closest-hit via the v6 kernel — see _make_closest_kernel_v6."""
+    n = origins.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, tmax, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_closest_kernel_v6(bvh6.n8, bvh6.n_leaves, bvh6.block,
+                                     tmin, n_sub)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 8 + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 8, _page_cols(bvh6.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub,)),
+                        pltpu.SMEM((1024,), jnp.int32),
+                        pltpu.VMEM((n_sub * 4, 1024), jnp.float32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.float32),
+                        pltpu.SMEM((n_sub,), jnp.int32)],
+    )(bvh6.u_lo[:, 0], bvh6.u_lo[:, 1], bvh6.u_lo[:, 2],
+      bvh6.u_hi[:, 0], bvh6.u_hi[:, 1], bvh6.u_hi[:, 2],
+      bvh6.c_ent, bvh6.c_order, bvh6.pages, rays_mat, cube)
+    out = out.reshape(p, 8, width)
+    pick = lambda r: out[:, r, :].reshape(-1)[:n]
+    return Hit(pick(0),
+               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               pick(2), pick(3))
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_closest_v6k2(bvh6: BF8V6, origins, dirs, tmax, tmin=1e-5) -> Hit:
+    """Closest-hit via the two-pop v6 kernel — see
+    _make_closest_kernel_v6k2."""
+    n = origins.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, tmax, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_closest_kernel_v6k2(bvh6.n8, bvh6.n_leaves, bvh6.block,
+                                       tmin, n_sub)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 8 + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 2, 8, _page_cols(bvh6.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub, 2)),
+                        pltpu.SMEM((1024,), jnp.int32),
+                        pltpu.VMEM((n_sub * 4, 1024), jnp.float32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.float32),
+                        pltpu.SMEM((n_sub,), jnp.int32)],
+    )(bvh6.u_lo[:, 0], bvh6.u_lo[:, 1], bvh6.u_lo[:, 2],
+      bvh6.u_hi[:, 0], bvh6.u_hi[:, 1], bvh6.u_hi[:, 2],
+      bvh6.c_ent, bvh6.c_order, bvh6.pages, rays_mat, cube)
+    out = out.reshape(p, 8, width)
+    pick = lambda r: out[:, r, :].reshape(-1)[:n]
+    return Hit(pick(0),
+               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               pick(2), pick(3))
+
+
+@functools.partial(jax.jit, static_argnames=("tmin", "window"))
+def packet_closest_v7(bvh6: BF8V6, origins, dirs, tmax, tmin=1e-5,
+                      window: int = 8) -> Hit:
+    """Closest-hit via the windowed leaf-queue kernel (v7) — see
+    _make_closest_kernel_v7."""
+    n = origins.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, tmax, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_closest_kernel_v7(bvh6.n8, bvh6.n_leaves, bvh6.block,
+                                     tmin, n_sub, window)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 8 + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 2, 8, _page_cols(bvh6.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub, 2)),
+                        pltpu.SMEM((1024,), jnp.int32),
+                        pltpu.SMEM((n_sub * 64,), jnp.int32),
+                        pltpu.VMEM((n_sub * 4, 1024), jnp.float32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.float32),
+                        pltpu.SMEM((n_sub,), jnp.int32)],
+    )(bvh6.u_lo[:, 0], bvh6.u_lo[:, 1], bvh6.u_lo[:, 2],
+      bvh6.u_hi[:, 0], bvh6.u_hi[:, 1], bvh6.u_hi[:, 2],
+      bvh6.c_ent, bvh6.c_order, bvh6.pages, rays_mat, cube)
+    out = out.reshape(p, 8, width)
+    pick = lambda r: out[:, r, :].reshape(-1)[:n]
+    return Hit(pick(0),
+               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               pick(2), pick(3))
+
+
+@functools.partial(jax.jit, static_argnames=("tmin",))
+def packet_occluded_v6(bvh6: BF8V6, origins, dirs, dist, tmin=1e-5):
+    """Occlusion via the v6 kernel — see _make_occluded_kernel_v6."""
+    n = origins.shape[0]
+    dist = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (n,))
+    rays_mat, cube, p, n_sub = _pack_inputs_v3(origins, dirs, dist, tmin, n)
+    width = n_sub * RAYS_PER_PACKET
+
+    kernel = _make_occluded_kernel_v6(bvh6.n8, bvh6.n_leaves, bvh6.block,
+                                      tmin, n_sub)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_sub * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * 7 + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 8, _page_cols(bvh6.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub,)),
+                        pltpu.SMEM((1024,), jnp.int32),
+                        pltpu.VMEM((n_sub, 1024), jnp.int32),
+                        pltpu.VMEM((n_sub * 8, 128), jnp.int32)],
+    )(bvh6.u_lo[:, 0], bvh6.u_lo[:, 1], bvh6.u_lo[:, 2],
+      bvh6.u_hi[:, 0], bvh6.u_hi[:, 1], bvh6.u_hi[:, 2],
+      bvh6.c_ent, bvh6.pages, rays_mat, cube)
+    occ = occ.reshape(p, 8, width)[:, 0, :].reshape(-1)[:n]
+    return occ > 0
 
 
 @functools.partial(jax.jit, static_argnames=("tmin",))

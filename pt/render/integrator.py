@@ -48,9 +48,10 @@ import jax.numpy as jnp
 
 from pt.accel.intersect import intersect_brute
 from pt.accel.lbvh import ThreadedBVH, build_bvh
-from pt.accel.pallas_bvh import (BF8BVH, PacketBVH, build_packet_bvh,
+from pt.accel.pallas_bvh import (BF8BVH, BF8V6, PacketBVH, build_packet_bvh,
                                  packet_closest_bf8, packet_closest_v4,
-                                 packet_occluded_bf8, packet_occluded_v4)
+                                 packet_closest_v6, packet_occluded_bf8,
+                                 packet_occluded_v4, packet_occluded_v6)
 from pt.accel.traverse import bvh_closest, bvh_occluded
 from pt.render import rng as prng
 from pt.render.bsdf import evaluate_bsdf, sample_bsdf
@@ -240,6 +241,41 @@ def _sample_cubemap(faces, directions):
 ALPHA_ROUNDS = 4   # max transparent surfaces skipped per ray segment
 
 
+def _root_bounds(bvh):
+    """Scene root AABB of any packet-kernel structure (None for the
+    XLA/brute backends). Wide structures mask their 1e30 empty slots."""
+    if isinstance(bvh, PacketBVH):
+        return bvh.top_lo[0], bvh.top_hi[0]
+    if isinstance(bvh, BF8BVH):
+        lo, hi = bvh.c_lo, bvh.c_hi
+    elif isinstance(bvh, BF8V6):
+        lo, hi = bvh.u_lo, bvh.u_hi
+    else:
+        return None
+    valid = lo[:, 0] < 1e29
+    root_lo = jnp.min(jnp.where(valid[:, None], lo, jnp.inf), axis=0)
+    root_hi = jnp.max(jnp.where(valid[:, None], hi, -jnp.inf), axis=0)
+    return root_lo, root_hi
+
+
+def _degenerate_masked(bvh, origins, dirs, tmax, live):
+    """Point dead lanes at a ray that exits the scene instantly: origin
+    outside the root AABB, +x direction, tmax=TMIN. Packet kernels then
+    terminate those lanes at the root test, so the 1024-ray cone unions
+    shrink to the LIVE rays' footprint — the alpha re-trace rounds
+    (any-hit emulation) cost proportional to the few pending lanes
+    instead of 4x the whole wavefront (VERDICT round-2 task 5)."""
+    bounds = _root_bounds(bvh)
+    if bounds is None:
+        return origins, dirs, tmax
+    outside = bounds[1] + 1.0e6
+    live_c = live[:, None]
+    o = jnp.where(live_c, origins, outside)
+    d = jnp.where(live_c, dirs, jnp.asarray([1.0, 0.0, 0.0]))
+    t = jnp.where(live, tmax, TMIN)
+    return o, d, t
+
+
 def _surface_color_alpha(ds: DeviceScene, tex: DeviceTextures, accel, hit):
     """Color-texture RGBA at the hit (≙ the any-hit shaders' color fetch:
     texture(colorTex, uv) * colorFactor, anyhit.rahit:44-50)."""
@@ -274,8 +310,12 @@ def trace_closest_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
     has_decal = jnp.zeros((n,), bool)
 
     for _ in range(ALPHA_ROUNDS):
-        hit = trace_closest(accel.bvh, accel.wpos, ds.tri_idx,
-                            cur_origin, dirs)
+        # degenerate non-pending lanes so the packet kernels only pay for
+        # rays still resolving alpha (round 0: the dead-lane mask)
+        o_t, d_t, t_t = _degenerate_masked(accel.bvh, cur_origin, dirs,
+                                           TMAX, pending)
+        hit = trace_closest(accel.bvh, accel.wpos, ds.tri_idx, o_t, d_t,
+                            t_t)
         opaque = ds.tri_opaque[jnp.maximum(hit.tri, 0)]
         rgba = _surface_color_alpha(ds, tex, accel, hit)
         alpha = rgba[:, 3]
@@ -307,18 +347,21 @@ def trace_closest_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
 
 
 def trace_occluded_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
-                         origins, dirs, dist):
+                         origins, dirs, dist, alive=None):
     """Shadow query honoring alpha: any surface with α < 1 passes light
-    (≙ occlusionAnyhit.rahit:51-53)."""
+    (≙ occlusionAnyhit.rahit:51-53). `alive` masks lanes that need no
+    shadow query at all (their packets degenerate)."""
     n = origins.shape[0]
-    pending = jnp.ones((n,), bool)
+    pending = jnp.ones((n,), bool) if alive is None else alive
     occluded = jnp.zeros((n,), bool)
     cur_origin = origins
     remaining = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (n,))
 
     for _ in range(ALPHA_ROUNDS):
+        o_t, d_t, t_t = _degenerate_masked(accel.bvh, cur_origin, dirs,
+                                           remaining, pending)
         hit = trace_closest(accel.bvh, accel.wpos, ds.tri_idx,
-                            cur_origin, dirs, remaining)
+                            o_t, d_t, t_t)
         opaque = ds.tri_opaque[jnp.maximum(hit.tri, 0)]
         rgba = _surface_color_alpha(ds, tex, accel, hit)
         translucent = hit.is_hit & ~opaque & (rgba[:, 3] < 1.0)
@@ -337,6 +380,11 @@ def trace_closest(bvh, world_pos, tri_idx, origins, dirs, tmax=TMAX):
     statically selects the compiled variant). bvh None → brute."""
     if bvh is None:
         return intersect_brute(world_pos, tri_idx, origins, dirs, TMIN, tmax)
+    if isinstance(bvh, BF8V6):
+        # unified-table variant with static octant child ordering —
+        # within ~5% of BF8 (docs/perf_budget.md §3); selectable via
+        # accel construction for A/B work
+        return packet_closest_v6(bvh, origins, dirs, tmax, TMIN)
     if isinstance(bvh, BF8BVH):
         # wide (BF8) variant of v4, used for static scenes where the
         # host-side collapse is available: 49/102 ms on 65k
@@ -356,6 +404,8 @@ def trace_occluded(bvh, world_pos, tri_idx, origins, dirs, dist):
     if bvh is None:
         hit = intersect_brute(world_pos, tri_idx, origins, dirs, TMIN, dist)
         return hit.is_hit
+    if isinstance(bvh, BF8V6):
+        return packet_occluded_v6(bvh, origins, dirs, dist, TMIN)
     if isinstance(bvh, BF8BVH):
         return packet_occluded_bf8(bvh, origins, dirs, dist, TMIN)
     if isinstance(bvh, PacketBVH):
@@ -634,17 +684,22 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     # light's 1e5 sentinel distance otherwise forces unoccluded rays to
     # walk every overlapping BVH leaf (occlusion cannot t-prune).
     shadow_dir = -_normalize(payload["light_dir"])
-    if isinstance(accel.bvh, PacketBVH):
+    bounds = _root_bounds(accel.bvh)
+    if bounds is not None:
+        # round-1 bug: this clamp only fired for PacketBVH, but production
+        # scenes use the BF8 structures — directional-light shadow rays
+        # then walked every overlapping leaf with a 1e5 sentinel distance
         light_dist = jnp.minimum(
             payload["light_dist"],
-            _aabb_exit_t(accel.bvh.top_lo[0], accel.bvh.top_hi[0],
+            _aabb_exit_t(bounds[0], bounds[1],
                          payload["next_origin"], shadow_dir) + 1e-3)
     else:
         light_dist = payload["light_dist"]
     if ds.has_alpha:
         occluded = trace_occluded_alpha(ds, tex, accel,
                                         payload["next_origin"], shadow_dir,
-                                        light_dist)
+                                        light_dist,
+                                        active & (payload["light_pdf"] > 0.0))
     elif sort_packets:
         shadow_live = active & (payload["light_pdf"] > 0.0)
         so_s = jnp.where(shadow_live[perm][:, None],

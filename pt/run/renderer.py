@@ -430,10 +430,15 @@ class Renderer:
                         full, self.accum, self.rays_total, self._film_perm)
                     state = full.state
                 if alive_obs:
-                    # single batched fetch = one sync
+                    # single batched fetch = one sync. 1.35x headroom over
+                    # the observed live count (was 2.0x): between 16-step
+                    # re-observations the live count only drifts by RNG
+                    # noise (~1%), and the film/settings changes that shift
+                    # it reset the plan entirely — measured bounce-1 then
+                    # traces at half the lanes (docs/perf_budget.md §5)
                     counts = np.asarray(jnp.stack(alive_obs))
                     self._compaction_plan = [
-                        _size_class(int(2 * c)) if c > 0 else 1024
+                        _size_class(int(1.35 * c)) if c > 0 else 1024
                         for c in counts]
                     self._plan_age = 0
                 else:

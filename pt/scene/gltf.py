@@ -490,8 +490,18 @@ class GLTFImporter:
         color = tuple(np.asarray(light.get("color", [1, 1, 1]))
                       * light.get("intensity", 1.0))
         if light["type"] == "directional":
+            # KHR punctual lights emit along the node's -Z in world space;
+            # walk the builder's parent chain for the world rotation
+            m = np.eye(4)
+            node = builder_node
+            while node != 0:
+                m = np.asarray(self.b.node_transforms[node]) @ m
+                node = int(self.b.node_parents[node])
+            d = -(m[:3, :3] @ np.asarray([0.0, 0.0, 1.0]))
+            n = np.linalg.norm(d)
+            d = d / n if n > 1e-12 else np.asarray([0.0, -1.0, 0.0])
             self.b.set_directional_light(DirectionalLight(
-                color=color, direction=(0.0, -1.0, 0.0)))
+                color=color, direction=tuple(d)))
         elif light["type"] in ("point", "spot"):
             self.b.add_point_light(
                 PointLight(color=color, position=(0.0, 0.0, 0.0),

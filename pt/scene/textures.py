@@ -83,6 +83,11 @@ def _decode_bytes(data: bytes, name: str) -> np.ndarray:
     if data[:2] == b"#?":
         rgb = read_radiance_hdr(data)
         return np.concatenate([rgb, np.ones_like(rgb[..., :1])], axis=-1)
+    from pt.scene.dds import decode_dds, is_dds
+    if is_dds(data):
+        # native BC1/BC3/BC5 block decode (PIL's DDS plugin lacks BC5,
+        # the reference's normal-map format, TextureImporter.cpp:69-260)
+        return decode_dds(data, max_levels=1)[0]
     from PIL import Image
     img = Image.open(io.BytesIO(data))
     img = img.convert("RGBA")
@@ -96,6 +101,17 @@ def get_texture_info(info: TextureInfo) -> TextureInfo:
         info.height, info.width = info.pixels.shape[:2]
         return info
     try:
+        from pt.scene.dds import parse_dds
+        header = info.data[:256] if info.data is not None else None
+        if header is None and info.path is not None:
+            with open(info.path, "rb") as f:
+                header = f.read(256)
+        if header is not None and header[:4] == b"DDS ":
+            # metadata without pixel load (≙ GetDDSTextureInfo,
+            # TextureImporter.cpp:69-130)
+            dinfo = parse_dds(header + b"\0" * max(0, 148 - len(header)))
+            info.width, info.height = dinfo.width, dinfo.height
+            return info
         from PIL import Image
         if info.path is not None:
             with Image.open(info.path) as im:
@@ -128,6 +144,29 @@ def load_texture_pixels(info: TextureInfo) -> Optional[np.ndarray]:
         if data is None:
             return None
         return _decode_bytes(data, info.name)
+    except Exception:
+        return None
+
+
+def load_texture_mips(info: TextureInfo) -> Optional[List[np.ndarray]]:
+    """For containers that carry a pre-built mip chain (DDS), decode the
+    whole chain so the pool keeps the authored mips instead of regenerating
+    (≙ the pre-mipped BCn upload, Image.cpp:226-256). None for all other
+    sources (caller uses load_texture_pixels + generated mips)."""
+    try:
+        data = info.data
+        if data is None and info.path is not None:
+            if not str(info.path).lower().endswith(".dds"):
+                return None
+            with open(info.path, "rb") as f:
+                data = f.read()
+        if data is None or data[:4] != b"DDS ":
+            return None
+        from pt.scene.dds import decode_dds, parse_dds
+        dinfo = parse_dds(data)
+        if dinfo.mip_count <= 1:
+            return None
+        return decode_dds(data, dinfo)
     except Exception:
         return None
 
@@ -169,13 +208,22 @@ def build_texture_pool(infos: List[TextureInfo],
     infos = [get_texture_info(i) for i in infos]
     max_dim = _budget_max_dim(infos, cfg)
 
-    decoded: List[Optional[np.ndarray]] = [None] * len(infos)
+    decoded: List[Optional[object]] = [None] * len(infos)
 
     def work(i: int) -> None:
-        px = load_texture_pixels(infos[i])
-        if px is not None:
-            px = _downscale_to(px, max_dim)
-        decoded[i] = px
+        # DDS with authored mips: ingest the chain, dropping leading levels
+        # to honor the budget cap (pre-mipped data makes downscaling free)
+        mips = load_texture_mips(infos[i])
+        if mips is not None:
+            while (len(mips) > 1
+                   and max(mips[0].shape[0], mips[0].shape[1]) > max_dim):
+                mips = mips[1:]
+            decoded[i] = ("mips", mips)
+        else:
+            px = load_texture_pixels(infos[i])
+            if px is not None:
+                px = _downscale_to(px, max_dim)
+                decoded[i] = ("img", px)
         if progress:
             progress(infos[i].name)
 
@@ -185,13 +233,16 @@ def build_texture_pool(infos: List[TextureInfo],
 
     builder = TexturePoolBuilder()
     add_default_textures(builder)
-    from pt.scene.types import (DEFAULT_COLOR_TEXTURE, default_texture_index)
-    for info, px in zip(infos, decoded):
-        if px is None:
+    for info, item in zip(infos, decoded):
+        if item is None:
             # broken texture → 1x1 magenta placeholder keeps table indices
             # stable while flagging the asset visually
-            px = np.asarray([[[1.0, 0.0, 1.0, 1.0]]], np.float32)
-        builder.add(px, srgb=info.is_srgb, generate_mips=True)
+            builder.add(np.asarray([[[1.0, 0.0, 1.0, 1.0]]], np.float32),
+                        srgb=False, generate_mips=False)
+        elif item[0] == "mips":
+            builder.add_mips(item[1], srgb=info.is_srgb)
+        else:
+            builder.add(item[1], srgb=info.is_srgb, generate_mips=True)
     return builder.build()
 
 
