@@ -90,8 +90,12 @@ def render_spp_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
         ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.uint32),
                               jnp.arange(width, dtype=jnp.uint32),
                               indexing="ij")
-        # decorrelate streams by offsetting the frame counter per chip
-        local_frame = frame_ + my * jnp.uint32(settings.sample_count)
+        # decorrelate streams with a large odd per-chip stride: the old
+        # `frame + chip * sample_count` collided across progressive steps
+        # (chip k at step s+1 == chip k+1 at step s when callers advance
+        # the frame by sample_count); a golden-ratio stride makes
+        # (chip, step) -> frame injective for any realistic step count
+        local_frame = frame_ + my * jnp.uint32(2654435761)
         radiance, rays = render_flat(ds_, tex_, iv, ip,
                                      xs.reshape(-1), ys.reshape(-1),
                                      width, height, local_frame, settings)

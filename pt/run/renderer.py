@@ -162,21 +162,46 @@ class _ShardedStages:
         def bounce_stage(ds, tex, accel, carry):
             out = bounce_once(ds, tex, accel, carry, settings)
             # carry.rays stays zero in sharded mode; report this bounce's
-            # global ray count separately (one psum per bounce)
+            # global ray count separately (one psum per bounce). The
+            # per-shard MAX live count sizes the next step's compaction
+            # classes (shards compact to the same static k).
             rays_delta = jax.lax.psum(out.rays - carry.rays, axis)
             out = out._replace(rays=carry.rays)
-            return out, jax.lax.psum(
+            return out, jax.lax.pmax(
                 jnp.sum(out.alive.astype(jnp.int32)), axis), rays_delta
 
         @functools.partial(jax.shard_map, mesh=mesh,
-                           in_specs=(cspec, lane),
+                           in_specs=(cspec, lane, lane),
                            out_specs=lane, check_vma=False)
-        def accumulate_stage(carry, accum_flat):
-            return finish_sample(carry, accum_flat)
+        def accumulate_stage(carry, accum_flat, film_perm):
+            # lanes are tile-swizzled within each shard's row band for
+            # packet coherence; film_perm maps lane -> local film pixel
+            from pt.render.integrator import _finite_or_zero
+            return accum_flat.at[film_perm].add(
+                _finite_or_zero(carry.radiance))
+
+        def compact_stage_of(k: int):
+            @functools.partial(jax.shard_map, mesh=mesh,
+                               in_specs=(cspec,),
+                               out_specs=(_carry_pspec(axis), lane),
+                               check_vma=False)
+            def compact_stage(carry):
+                return _compact_jit(carry, k)
+            return jax.jit(compact_stage)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(cspec, _carry_pspec(axis), lane),
+                           out_specs=cspec, check_vma=False)
+        def scatter_stage(full, sub, perm):
+            return _scatter_jit(full, sub, perm)
 
         self.raygen = jax.jit(raygen_stage)
         self.bounce = jax.jit(bounce_stage)
         self.accumulate = jax.jit(accumulate_stage)
+        self.scatter = jax.jit(scatter_stage)
+        self._compact_cache = {}
+        self.compact = lambda k: self._compact_cache.setdefault(
+            k, compact_stage_of(k))
 
 
 class Renderer:
@@ -283,15 +308,28 @@ class Renderer:
         self._py = jnp.asarray(ys.reshape(-1)[order])
         self._film_perm = jnp.asarray(order.astype(np.int32))
         if self.mesh is not None:
-            # sharded mode keeps scanline order so film rows shard cleanly
+            # film rows shard in bands; lanes tile-swizzle WITHIN each
+            # band so every packet still covers a compact square tile
+            # (scanline strips cost ~20% traversal coherence, measured in
+            # benches/sharded_tpu.py round 2)
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_dev = self.mesh.devices.size
-            if (width * height) % n_dev:
+            if height % n_dev:
                 raise ValueError(
-                    f"film {width}x{height} not divisible by mesh size {n_dev}")
+                    f"film height {height} not divisible by mesh {n_dev}")
+            band_h = height // n_dev
+            band_order = _tile_order(width, band_h)
+            full_order = np.concatenate(
+                [band_order + b * band_h * width for b in range(n_dev)])
             sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
-            self._px = jax.device_put(jnp.asarray(xs.reshape(-1)), sh)
-            self._py = jax.device_put(jnp.asarray(ys.reshape(-1)), sh)
+            self._px = jax.device_put(
+                jnp.asarray(xs.reshape(-1)[full_order]), sh)
+            self._py = jax.device_put(
+                jnp.asarray(ys.reshape(-1)[full_order]), sh)
+            # per-shard LOCAL pixel index for the scatter-add (band-local)
+            local_perm = np.concatenate([band_order for _ in range(n_dev)])
+            self._film_perm_sharded = jax.device_put(
+                jnp.asarray(local_perm.astype(np.int32)), sh)
             self._stages = None
         self.reset_accumulation()
 
@@ -450,22 +488,57 @@ class Renderer:
     def _render_sharded(self, samples: int, inv_view, inv_proj) -> None:
         """Multi-chip film-row render: each sample is seeded by a distinct
         frame counter (decorrelated streams; intra-frame stream
-        continuation is a single-device property)."""
+        continuation is a single-device property).
+
+        Mirrors the single-device path's sync discipline: per-bounce live
+        counts drive the NEXT step's per-shard compaction size classes and
+        are fetched in ONE batched host sync per render() — the per-bounce
+        `int(alive_count)` sync (≈30 ms each on this platform) is gone."""
         if self._stages is None:
             self._stages = _ShardedStages(self.mesh, self.width, self.height,
                                           self.settings)
+        n_dev = self.mesh.devices.size
+        n_local = (self.width * self.height) // n_dev
         accum_flat = self.accum.reshape(-1, 3)
+        plan = self._compaction_plan
+        observe = plan is None or self._plan_age >= 16
+        alive_obs = []
         for s in range(samples):
             frame = jnp.uint32(self.total_samples + s)
             carry = self._stages.raygen(self._px, self._py, inv_view,
                                         inv_proj, frame)
+            full = carry
+            perm = None
+            cur_n = n_local
             for bounce in range(self.settings.bounce_count):
-                carry, alive_count, rays_delta = self._stages.bounce(
+                carry, alive_max, rays_delta = self._stages.bounce(
                     self.ds, self.tex, self.accel, carry)
                 self.rays_total = self.rays_total + rays_delta
-                if bounce >= 2 and int(alive_count) == 0:
-                    break
-            accum_flat = self._stages.accumulate(carry, accum_flat)
+                if s == 0 and observe:
+                    alive_obs.append(alive_max)
+                k = plan[bounce] if plan and bounce < len(plan) else None
+                if (k is not None and k <= cur_n // 2
+                        and bounce < self.settings.bounce_count - 1):
+                    if perm is not None:
+                        full = self._stages.scatter(full, carry, perm)
+                    else:
+                        full = carry
+                    carry, perm = self._stages.compact(k)(full)
+                    cur_n = k
+            if perm is not None:
+                full = self._stages.scatter(full, carry, perm)
+            else:
+                full = carry
+            accum_flat = self._stages.accumulate(full, accum_flat,
+                                                 self._film_perm_sharded)
+        if alive_obs:
+            counts = np.asarray(jnp.stack(alive_obs))   # one batched sync
+            self._compaction_plan = [
+                _size_class(int(1.35 * c)) if c > 0 else 1024
+                for c in counts]
+            self._plan_age = 0
+        else:
+            self._plan_age += 1
         self.accum = accum_flat.reshape(self.accum.shape)
 
     def snapshot(self, hdr: bool = False) -> np.ndarray:
