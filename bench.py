@@ -1,14 +1,20 @@
 #!/usr/bin/env python
 """Headline benchmark: path-tracing throughput in Mrays/sec on one chip.
 
-Renders the procedural 100k-triangle heightfield scene (stand-in for the
-Sponza-class imported scenes until asset import lands) through the
-production host-orchestrated wavefront renderer (pt.run.renderer: Pallas
-packet traversal + per-stage jits) and reports useful rays traced per
-second (live closest-hit + NEE shadow rays). Baseline is the BASELINE.json
-north-star target of 200 Mrays/s per chip.
+Headline scene: the Courtyard — the procedural Sponza-class stand-in
+(213k triangles, 23 textured materials, alpha-tested foliage, instanced
+colonnade, 4 point + 1 directional light; pt/scene/standin.py). The
+BASELINE.json north star (200 Mrays/s) is defined on Intel Sponza;
+enclosed multi-material content like this is the representative load.
+The open-landscape heightfield (worst case for packet traversal: diffuse
+cones sweep the whole scene — see docs/perf_budget.md §2) is reported as
+a secondary field.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Throughput counts useful rays (live closest-hit + NEE shadow rays) through
+the production host-orchestrated wavefront renderer (Pallas BF8 packet
+kernels + per-stage jits + wavefront compaction).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -17,38 +23,47 @@ import time
 BASELINE_MRAYS = 200.0
 
 
-def main() -> None:
-    import pt  # noqa: F401  (configures the persistent compile cache)
+def measure(scene, width=512, height=512, steps=3) -> float:
     from pt.render.integrator import PathTracingSettings
     from pt.run.renderer import Renderer
-    from pt.scene.examples import make_heightfield_scene
 
-    width = height = 512
     renderer = Renderer(PathTracingSettings(sample_count=4, bounce_count=5,
                                             backend="pallas"))
-    renderer.set_scene(make_heightfield_scene(224))
+    renderer.set_scene(scene, stream_textures=False)
     renderer.on_resize(width, height)
-
     # warmup: compiles the kernels AND the compaction size classes the
     # plan discovers after the first step (each class is a cached variant)
     renderer.render(1)
     renderer.render()
     renderer.render()
     start_rays = renderer.rays_traced
-
-    steps = 4
     t0 = time.perf_counter()
     for _ in range(steps):
         renderer.render()
     total_rays = renderer.rays_traced - start_rays
     dt = time.perf_counter() - t0
+    return total_rays / dt / 1e6
 
-    mrays = total_rays / dt / 1e6
+
+def main() -> None:
+    import pt  # noqa: F401  (configures the persistent compile cache)
+    from pt.scene.examples import make_heightfield_scene
+    from pt.scene.standin import make_courtyard_scene
+
+    heightfield = measure(make_heightfield_scene(224))
+    courtyard = measure(make_courtyard_scene())
+
+    # headline stays the heightfield for cross-round comparability
+    # (round 1 measured 2.96 on it); the Sponza-class courtyard (213k
+    # tris, textures, alpha foliage) rides along as the representative-
+    # content secondary (see BASELINE.md round-2 table + perf budget)
     print(json.dumps({
         "metric": "path_tracing_throughput",
-        "value": round(mrays, 3),
+        "value": round(heightfield, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+        "vs_baseline": round(heightfield / BASELINE_MRAYS, 4),
+        "scene": "heightfield-100k-tris",
+        "courtyard_sponza_class_mrays": round(courtyard, 3),
     }))
 
 

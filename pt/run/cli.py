@@ -93,7 +93,7 @@ def _load_app(args, width, height):
         + (["-S", args.scenes] if args.scenes else []))
     app = Application(cfg)
     scene = getattr(args, "scene", "Test Scenes/Default")
-    if scene.endswith((".gltf", ".glb")):
+    if scene.endswith((".gltf", ".glb", ".obj")):
         from pt.scene.manager import SceneDescription
         loader = SceneDescription("cli", [scene]).to_loader()
         if loader is None:

@@ -366,6 +366,12 @@ class Renderer:
         Stats.add_stat("Samples Per Frame", spf)
 
     # -- rendering --------------------------------------------------------
+    # static-scene accel LRU shared across Renderer instances: SAH build +
+    # BF8 collapse are host-side and expensive; switching between scenes
+    # (UI scene list, A/B scripts) must not rebuild (≙ the reference's
+    # LRU-cached pipeline variants, Core/Cache.h + Pipeline.h:303-372)
+    _accel_cache = None
+
     def _ensure_accel(self) -> None:
         if not (self._accel_dirty or self.accel is None):
             return
@@ -385,16 +391,34 @@ class Renderer:
                 # the collapse would not fit SMEM.
                 from pt.accel.pallas_bvh import (build_bf8,
                                                  build_packet_bvh_sah)
+                from pt.core.cache import LRUCache, fnv1a
                 base = _prepare_attribs_jit(self.ds, self.settings)
                 wpos_np = np.asarray(base.wpos)
                 tri_np = np.asarray(self.ds.tri_idx)
-                bvh = None
-                fine = build_packet_bvh_sah(wpos_np, tri_np, block=32,
-                                            max_leaves=8192)
-                if fine is not None:
-                    bvh = build_bf8(fine)
+                if Renderer._accel_cache is None:
+                    Renderer._accel_cache = LRUCache(4)
+
+                def geo_key(a):
+                    # fnv1a over a strided sample (full-array python-loop
+                    # hashing is seconds at Sponza scale) + exact global
+                    # reductions so any vertex perturbation changes the key
+                    step = max(1, len(a) // 1024)
+                    return (a.shape, fnv1a(np.ascontiguousarray(
+                                a[::step]).tobytes()),
+                            float(a.astype(np.float64).sum()),
+                            float(a.min()), float(a.max()))
+
+                key = (geo_key(wpos_np), geo_key(tri_np))
+                bvh = Renderer._accel_cache.get(key)
                 if bvh is None:
-                    bvh = build_packet_bvh_sah(wpos_np, tri_np)
+                    fine = build_packet_bvh_sah(wpos_np, tri_np, block=32,
+                                                max_leaves=8192)
+                    if fine is not None:
+                        bvh = build_bf8(fine)
+                    if bvh is None:
+                        bvh = build_packet_bvh_sah(wpos_np, tri_np)
+                    if bvh is not None:
+                        Renderer._accel_cache.put(key, bvh)
                 if bvh is not None:
                     self.accel = base._replace(bvh=bvh)
                 else:

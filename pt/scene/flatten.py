@@ -183,6 +183,24 @@ def flatten_scene(scene: Scene) -> DeviceScene:
 
     mat_rows, mid_to_row = _build_material_table(scene)
 
+    # instancing-by-duplication accounting: flag Bistro/Zero-Day-class
+    # reuse before it blows HBM (the documented tradeoff of this layout —
+    # recompute-over-traversal — is measured against small-to-moderate
+    # duplication; see module docstring)
+    unique_verts = len(scene.vertices) + len(scene.animated_vertices)
+    dup_verts = sum(scene.geometries[m.geometry_index].vertex_count
+                    for inst in scene.instances
+                    for m in scene.models[inst.model_index].meshes)
+    if unique_verts and dup_verts > 8 * unique_verts \
+            and dup_verts > 4_000_000:
+        import logging
+        logging.getLogger("pt.scene").warning(
+            "instancing duplication: %d unique verts expand to %d "
+            "(%.1fx, ~%.2f GB of per-vertex device state). Heavy-reuse "
+            "scenes may exceed HBM; consider reducing instances or "
+            "splitting the scene.", unique_verts, dup_verts,
+            dup_verts / unique_verts, dup_verts * 60 * 4 / 2**30)
+
     bone_idx, bone_weight = [], []
     vbase = 0
     for inst_i, inst in enumerate(scene.instances):

@@ -54,10 +54,14 @@ class CombinedSceneLoader(SceneLoader):
         self.default_camera = default_camera
 
     def load(self, builder: SceneBuilder) -> None:
-        from pt.scene.gltf import import_gltf
         for path in self.paths:
             with Timer("File Import"):
-                import_gltf(builder, path, self.texture_mapping)
+                if path.suffix.lower() == ".obj":
+                    from pt.scene.obj import import_obj
+                    import_obj(builder, path)
+                else:
+                    from pt.scene.gltf import import_gltf
+                    import_gltf(builder, path, self.texture_mapping)
         if self.dx_normals:
             builder.texture_mapping["dx_normals"] = True
         if self.skybox_path is not None:
@@ -113,12 +117,19 @@ class SceneManager:
         from pt.scene import examples
         group = self.groups.setdefault("Test Scenes", {})
         group["Default"] = CustomSceneLoader(examples.create_default_scene)
+        group["MetallicRoughness Cubes"] = CustomSceneLoader(
+            examples.create_metallic_roughness_cubes_scene)
         group["Roughness Test Cubes"] = CustomSceneLoader(
             examples.create_roughness_test_scene)
         group["Heightfield"] = CustomSceneLoader(
             examples.create_heightfield_scene)
         group["Reuse Mesh"] = CustomSceneLoader(
             examples.create_reuse_mesh_scene)
+
+        def _courtyard(builder):
+            from pt.scene.standin import create_courtyard_scene
+            create_courtyard_scene(builder)
+        group["Courtyard"] = CustomSceneLoader(_courtyard)
         self.discover_khronos_scenes()
         from pt.scene.catalog import add_high_quality_scenes
         add_high_quality_scenes(self)

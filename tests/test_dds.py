@@ -153,6 +153,27 @@ class TestPipelineIntegration:
         info = get_texture_info(info)
         assert (info.width, info.height) == (16, 8)
 
+    def test_grad_sampling_uses_authored_mips(self):
+        """The textureGrad-equivalent LOD path must fetch the AUTHORED
+        chain: a DDS with red level 0 and blue level 1 samples red for
+        tiny footprints and blue for one-texel-per-pixel footprints
+        (≙ the mips debug view over pre-mipped BCn content)."""
+        import jax.numpy as jnp
+        from pt.render.textures import sample_texture_grad
+        from pt.scene.textures import build_texture_pool
+        from pt.scene.types import TextureInfo, TextureType
+        lvl0 = bc1_block(RED565, RED565, [0] * 16) * 4
+        lvl1 = bc1_block(BLUE565, BLUE565, [0] * 16)
+        data = make_dds(8, 8, b"DXT1", lvl0 + lvl1, mip_count=2)
+        pool = build_texture_pool([TextureInfo(
+            name="t", type=TextureType.COLOR, data=data)])
+        idx = jnp.asarray([9, 9])               # first scene slot
+        uv = jnp.asarray([[0.5, 0.5], [0.5, 0.5]], jnp.float32)
+        fine = jnp.asarray([[1e-4, 0.0], [0.25, 0.0]], jnp.float32)
+        texel = np.asarray(sample_texture_grad(pool, idx, uv, fine, fine))
+        assert texel[0, 0] > 0.5 and texel[0, 2] < 0.2   # level 0: red
+        assert texel[1, 2] > 0.5 and texel[1, 0] < 0.2   # level 1+: blue
+
     def test_pool_keeps_authored_mips(self):
         from pt.render.textures import MAX_MIPS
         from pt.scene.textures import build_texture_pool
