@@ -99,6 +99,10 @@ class PacketBVH:
 
 
 LEAF_BIT = 1 << 24           # BF8 child-entry tag (leaf id in low bits)
+ALPHA_TRI_BIT = 1 << 30      # page-id tag: triangle is NOT opaque (alpha-
+                             # tested); lets occlusion kernels skip alpha
+                             # surfaces (≙ the any-hit ignore, occlusion
+                             # shaders) without a second structure
 
 
 @jax.tree_util.register_dataclass
@@ -1054,9 +1058,12 @@ def _make_occluded_kernel_v6(n8: int, n_leaves: int, block: int,
     return kernel
 
 
-def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np):
+def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np,
+                tri_alpha=None):
     """Pack per-leaf matmul operand pages from (T_pad, 3) triangle data in
-    leaf order. tri_ids: (T_pad,) int32 with -1 padding. Returns
+    leaf order. tri_ids: (T_pad,) int32 with -1 padding; `tri_alpha`
+    (T_pad,) bool marks non-opaque triangles (ALPHA_TRI_BIT is OR-ed into
+    their ids; -1 padding is left untouched). Returns
     (n_leaves, 8, 7B) f32. Pure array ops — works traced (xp=jnp, the
     jittable Morton rebuild path) or on host (xp=np, the SAH path).
 
@@ -1095,12 +1102,14 @@ def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np):
                                      axis=-1))
     for k in range(3):       # d'_k operand: [0,0,0,0, Wk(3), 0]
         groups.append(xp.concatenate([zeros4, w[:, k, :], zeros1], axis=-1))
+    ids32 = tri_ids.astype(np.int32 if xp is np else jnp.int32)
+    if tri_alpha is not None:
+        mark = (ids32 >= 0) & xp.asarray(tri_alpha, bool)
+        ids32 = xp.where(mark, ids32 | ALPHA_TRI_BIT, ids32)
     if xp is np:
-        id_bits = np.ascontiguousarray(tri_ids.astype(np.int32)) \
-            .view(np.float32)
+        id_bits = np.ascontiguousarray(ids32).view(np.float32)
     else:
-        id_bits = jax.lax.bitcast_convert_type(tri_ids.astype(jnp.int32),
-                                               jnp.float32)
+        id_bits = jax.lax.bitcast_convert_type(ids32, jnp.float32)
     groups.append(xp.concatenate([id_bits[:, None],
                                   xp.zeros((t_pad, 7), xp.float32)],
                                  axis=-1))
@@ -1138,10 +1147,12 @@ def _finish_build(blo, bhi, n_leaves, pages, block):
 
 
 def build_packet_bvh(positions: jax.Array, tri_idx: jax.Array,
-                     block: int = TRIS_PER_BLOCK) -> PacketBVH:
+                     block: int = TRIS_PER_BLOCK,
+                     tri_opaque=None) -> PacketBVH:
     """Morton-block build — fully jittable (device sort + traced Woop-page
     packing; ≙ the ALLOW_UPDATE animated-BLAS path,
-    AccelerationStructure.cpp:251-257)."""
+    AccelerationStructure.cpp:251-257). `tri_opaque` (T,) bool marks
+    opaque triangles for the occlusion fast path (page-id alpha bit)."""
     block = max(32, -(-block // 32) * 32)   # page-group granularity
     t_count = tri_idx.shape[0]
     v0 = positions[tri_idx[:, 0]]
@@ -1175,13 +1186,19 @@ def build_packet_bvh(positions: jax.Array, tri_idx: jax.Array,
     bhi = jnp.where(bvalid, jnp.maximum(jnp.maximum(bv0, bv1), bv2),
                     -jnp.inf).max(axis=1)
 
-    pages = _woop_pages(sv0, se1, se2, order_p, n_leaves, block, xp=jnp)
+    tri_alpha = None
+    if tri_opaque is not None:
+        tri_alpha = jnp.where(order_p >= 0,
+                              ~jnp.asarray(tri_opaque, bool)[safe], False)
+    pages = _woop_pages(sv0, se1, se2, order_p, n_leaves, block, xp=jnp,
+                        tri_alpha=tri_alpha)
     return _finish_build(blo, bhi, n_leaves, pages, block)
 
 
 def build_packet_bvh_sah(positions_np, tri_idx_np,
                          block: int = TRIS_PER_BLOCK,
-                         max_leaves: int = None):
+                         max_leaves: int = None,
+                         tri_opaque_np=None):
     """Host-side build using the native binned-SAH builder
     (csrc/sah_bvh.cpp) — higher-quality trees for static scenes
     (≙ PREFER_FAST_TRACE builds). Returns None when the native library is
@@ -1227,6 +1244,7 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     se1 = np.zeros((t_pad, 3), np.float32)
     se2 = np.zeros((t_pad, 3), np.float32)
     ids = np.full(t_pad, -1, np.int32)
+    alpha = np.zeros(t_pad, bool)
     for li, node in enumerate(leaf_nodes):
         s, c = leaf_start[node], leaf_count[node]
         tris = order[s:s + c]
@@ -1235,8 +1253,12 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
         se1[base:base + c] = (v1 - v0)[tris]
         se2[base:base + c] = (v2 - v0)[tris]
         ids[base:base + c] = tris
+        if tri_opaque_np is not None:
+            alpha[base:base + c] = ~np.asarray(tri_opaque_np, bool)[tris]
 
-    pages = _woop_pages(sv0, se1, se2, ids, n_leaves, block)
+    pages = _woop_pages(sv0, se1, se2, ids, n_leaves, block,
+                        tri_alpha=alpha if tri_opaque_np is not None
+                        else None)
     return PacketBVH(
         top_lo=jnp.asarray(node_lo),
         top_hi=jnp.asarray(node_hi),
@@ -2249,11 +2271,14 @@ def _make_closest_kernel_bf8(n8: int, n_leaves: int, block: int,
 
 def _make_occluded_kernel_bf8(n8: int, n_leaves: int, block: int,
                               tmin: float, n_sub: int,
-                              leaf_retest: bool = True):
+                              leaf_retest: bool = True,
+                              opaque_only: bool = False):
     """BF8 occlusion: stack-based wide traversal (order irrelevant, so hit
     children push unsorted), per-sub occlusion masks in VMEM scratch, and
     the all-occluded early exit packed into the same per-child reduces.
-    Phases as in _make_closest_kernel_bf8."""
+    Phases as in _make_closest_kernel_bf8. `opaque_only` ignores hits on
+    alpha-tagged triangles (≙ the any-hit ignore in the occlusion
+    shaders) — the fast first pass of alpha-aware shadow queries."""
 
     def kernel(clox, cloy, cloz, chix, chiy, chiz, cent, *rest):
         if leaf_retest:
@@ -2363,10 +2388,14 @@ def _make_occluded_kernel_bf8(n8: int, n_leaves: int, block: int,
 
                     def intersect(q, s=s, lanes=lanes):
                         dist_lane = rays_mat[7:8, lanes]
-                        t_cand, _, _, _ = _leaf_intersect(
+                        t_cand, _, _, ids = _leaf_intersect(
                             leaf_vmem[s], rays_mat[:, lanes], tmin,
                             dist_lane, block)
-                        found = jnp.max(jnp.where(t_cand < 1e30, 1, 0),
+                        hit_ok = t_cand < 1e30
+                        if opaque_only:
+                            hit_ok = hit_ok & (ids >= 0) \
+                                & ((ids & ALPHA_TRI_BIT) == 0)
+                        found = jnp.max(jnp.where(hit_ok, 1, 0),
                                         axis=0, keepdims=True)
                         occ = jnp.maximum(occ_ref[s:s + 1, :], found)
                         occ_ref[s:s + 1, :] = occ
@@ -2688,6 +2717,12 @@ def _make_occluded_kernel_subpacket(n_top: int, block: int, tmin: float):
     return kernel
 
 
+def _strip_alpha_bit(tri):
+    """Drop the page-id alpha tag from closest-hit triangle ids
+    (misses stay -1)."""
+    return jnp.where(tri >= 0, tri & ~ALPHA_TRI_BIT, tri)
+
+
 def _smem_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -2786,7 +2821,8 @@ def packet_closest_v3(pbvh: PacketBVH, origins, dirs, tmax,
     out = out.reshape(p, 8, width)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
     return Hit(pick(0),
-               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
                pick(2), pick(3))
 
 
@@ -2824,7 +2860,8 @@ def packet_closest_v4(pbvh: PacketBVH, origins, dirs, tmax,
     out = out.reshape(p, 8, width)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
     return Hit(pick(0),
-               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
                pick(2), pick(3))
 
 
@@ -2867,7 +2904,8 @@ def packet_closest_bf8(bvh8: BF8BVH, origins, dirs, tmax,
     out = out.reshape(p, 8, width)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
     return Hit(pick(0),
-               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
                pick(2), pick(3))
 
 
@@ -2905,7 +2943,8 @@ def packet_closest_v6(bvh6: BF8V6, origins, dirs, tmax, tmin=1e-5) -> Hit:
     out = out.reshape(p, 8, width)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
     return Hit(pick(0),
-               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
                pick(2), pick(3))
 
 
@@ -2944,7 +2983,8 @@ def packet_closest_v6k2(bvh6: BF8V6, origins, dirs, tmax, tmin=1e-5) -> Hit:
     out = out.reshape(p, 8, width)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
     return Hit(pick(0),
-               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
                pick(2), pick(3))
 
 
@@ -2985,7 +3025,8 @@ def packet_closest_v7(bvh6: BF8V6, origins, dirs, tmax, tmin=1e-5,
     out = out.reshape(p, 8, width)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
     return Hit(pick(0),
-               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
                pick(2), pick(3))
 
 
@@ -3048,7 +3089,8 @@ def packet_closest(pbvh: PacketBVH, origins, dirs, tmax, tmin=1e-5) -> Hit:
     out = out.reshape(p, 8, 1024)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
     return Hit(pick(0),
-               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
                pick(2), pick(3))
 
 
@@ -3076,8 +3118,9 @@ def packet_occluded(pbvh: PacketBVH, origins, dirs, dist, tmin=1e-5):
     return occ > 0
 
 
-@functools.partial(jax.jit, static_argnames=("tmin",))
-def packet_occluded_bf8(bvh8: BF8BVH, origins, dirs, dist, tmin=1e-5):
+@functools.partial(jax.jit, static_argnames=("tmin", "opaque_only"))
+def packet_occluded_bf8(bvh8: BF8BVH, origins, dirs, dist, tmin=1e-5,
+                        opaque_only: bool = False):
     """Occlusion via the BF8 wide-node kernel — see
     _make_occluded_kernel_bf8."""
     n = origins.shape[0]
@@ -3086,7 +3129,8 @@ def packet_occluded_bf8(bvh8: BF8BVH, origins, dirs, dist, tmin=1e-5):
     width = n_sub * RAYS_PER_PACKET
 
     kernel = _make_occluded_kernel_bf8(bvh8.n8, bvh8.n_leaves, bvh8.block,
-                                       tmin, n_sub, bvh8.leaf_retest)
+                                       tmin, n_sub, bvh8.leaf_retest,
+                                       opaque_only)
     hbm = pl.BlockSpec(memory_space=pltpu.HBM)
     mat = pl.BlockSpec((8, width), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
@@ -3201,5 +3245,6 @@ def packet_closest_sub(pbvh: PacketBVH, origins, dirs, tmax,
     out = out.reshape(p, 8, 1024)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
     return Hit(pick(0),
-               jax.lax.bitcast_convert_type(pick(1), jnp.int32),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
                pick(2), pick(3))

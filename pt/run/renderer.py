@@ -408,15 +408,19 @@ class Renderer:
                             float(a.astype(np.float64).sum()),
                             float(a.min()), float(a.max()))
 
-                key = (geo_key(wpos_np), geo_key(tri_np))
+                opq_np = np.asarray(self.ds.tri_opaque)
+                key = (geo_key(wpos_np), geo_key(tri_np),
+                       int(opq_np.sum()), opq_np.shape)
                 bvh = Renderer._accel_cache.get(key)
                 if bvh is None:
                     fine = build_packet_bvh_sah(wpos_np, tri_np, block=32,
-                                                max_leaves=8192)
+                                                max_leaves=8192,
+                                                tri_opaque_np=opq_np)
                     if fine is not None:
                         bvh = build_bf8(fine)
                     if bvh is None:
-                        bvh = build_packet_bvh_sah(wpos_np, tri_np)
+                        bvh = build_packet_bvh_sah(wpos_np, tri_np,
+                                                   tri_opaque_np=opq_np)
                     if bvh is not None:
                         Renderer._accel_cache.put(key, bvh)
                 if bvh is not None:

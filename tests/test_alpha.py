@@ -109,3 +109,54 @@ def test_full_render_with_decal():
     # center pixels see the white wall tinted bluish by the decal
     center = img[8, 8] / max(img[8, 8].max(), 1e-9)
     assert center[2] >= center[0]
+
+
+class TestOpaqueBitPages:
+    """Page-id alpha tagging for the occlusion fast path
+    (pt/accel/pallas_bvh.py: ALPHA_TRI_BIT)."""
+
+    def test_woop_pages_tag_and_strip(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from pt.accel.pallas_bvh import (ALPHA_TRI_BIT, _strip_alpha_bit,
+                                         _woop_pages)
+        t = 32
+        v0 = np.zeros((t, 3), np.float32)
+        e1 = np.tile(np.asarray([[1, 0, 0]], np.float32), (t, 1))
+        e2 = np.tile(np.asarray([[0, 1, 0]], np.float32), (t, 1))
+        ids = np.arange(t, dtype=np.int32)
+        ids[-1] = -1                                 # padding slot
+        alpha = np.zeros(t, bool)
+        alpha[3] = alpha[7] = True
+        alpha[-1] = True                             # must NOT tag padding
+        pages = _woop_pages(v0, e1, e2, ids, 1, t, tri_alpha=alpha)
+        got = np.ascontiguousarray(
+            np.asarray(pages)[0, 0, 6 * t:7 * t]).view(np.int32)
+        assert got[3] == 3 | ALPHA_TRI_BIT
+        assert got[7] == 7 | ALPHA_TRI_BIT
+        assert got[4] == 4
+        assert got[-1] == -1                         # padding untouched
+        stripped = np.asarray(_strip_alpha_bit(jnp.asarray(got)))
+        assert stripped[3] == 3 and stripped[7] == 7
+        assert stripped[-1] == -1
+
+    def test_morton_build_tags(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from pt.accel.pallas_bvh import ALPHA_TRI_BIT, build_packet_bvh
+        rng = np.random.default_rng(0)
+        n = 48
+        pos = jnp.asarray(rng.normal(size=(n * 3, 3)).astype(np.float32))
+        tri = jnp.arange(n * 3, dtype=jnp.int32).reshape(n, 3)
+        opaque = jnp.asarray(rng.random(n) > 0.5)
+        bvh = jax.jit(build_packet_bvh,
+                      static_argnames=("block",))(pos, tri,
+                                                  tri_opaque=opaque)
+        ids = np.asarray(jax.lax.bitcast_convert_type(
+            bvh.pages[..., 6 * bvh.block:7 * bvh.block], jnp.int32)).ravel()
+        valid = ids[ids != -1]
+        tagged = (valid & ALPHA_TRI_BIT) != 0
+        plain = valid & ~ALPHA_TRI_BIT
+        expected = ~np.asarray(opaque)[plain]
+        np.testing.assert_array_equal(tagged, expected)
