@@ -30,7 +30,7 @@ import numpy as np
 from pt.core.stats import Stats, Timer
 from pt.post.pipeline import PostProcessSettings, postprocess
 from pt.render.integrator import (Accel, BounceCarry, PathTracingSettings,
-                                  bounce_once, finish_sample, init_rng_state,
+                                  bounce_once, init_rng_state,
                                   prepare_accel, raygen, start_carry)
 from pt.render.textures import DeviceTextures, default_texture_pool
 from pt.scene.builder import Scene

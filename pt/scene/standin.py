@@ -15,7 +15,6 @@ on a file it did not synthesize (tests/test_standin.py).
 from __future__ import annotations
 
 import math
-from typing import List, Tuple
 
 import numpy as np
 
