@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--out", default="debug.png")
     d.add_argument("--size", type=_parse_size, default=(640, 480),
                    metavar="WxH")
+    # ≙ the Debug tab's raygen/hit flag checkboxes (UserInterface.cpp:1700+)
+    d.add_argument("--force-opaque", action="store_true")
+    d.add_argument("--cull-backfaces", action="store_true")
+    d.add_argument("--disable-color-texture", action="store_true")
+    d.add_argument("--disable-shadows", action="store_true")
 
     sub.add_parser("stats", help="render one frame and dump the stat board")
 
@@ -161,17 +166,22 @@ def cmd_debug(args) -> int:
     import numpy as np
 
     from pt.out.saver import write_image
-    from pt.render.debug import DebugRenderMode, render_debug_image
+    from pt.render.debug import (DebugFlags, DebugRenderMode,
+                                 render_debug_image)
 
     width, height = args.size
     app = _load_app(args, width, height)
     mode = DebugRenderMode[args.mode.upper().replace("-", "_")]
+    flags = DebugFlags(force_opaque=args.force_opaque,
+                       cull_backfaces=args.cull_backfaces,
+                       disable_color_texture=args.disable_color_texture,
+                       disable_shadows=args.disable_shadows)
     cam = app.renderer.scene.cameras[0]
     cam.on_resize(width, height)
     img = render_debug_image(app.renderer.ds, app.renderer.tex,
                              cam.inv_view.astype("float32"),
                              cam.inv_proj.astype("float32"),
-                             width, height, mode)
+                             width, height, mode, flags=flags)
     write_image(args.out, np.asarray(img))
     print(f"wrote {args.out}", file=sys.stderr)
     return 0
