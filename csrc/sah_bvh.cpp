@@ -181,6 +181,359 @@ struct Builder {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// SBVH: binned SAH with spatial splits (Stich et al., HPG 2009).
+//
+// Motivation (docs/perf_budget.md §6 lever 2): the packet kernel's leaf-
+// visit union waste is partly leaf-overlap driven — large/thin diagonal
+// triangles (floors, columns, foliage cards) inflate every leaf AABB they
+// touch. Spatial splits let a triangle be *referenced* by several leaves,
+// each reference clipped to its node's slab, so leaf boxes stay tight.
+// References are duplicated under a budget; leaves therefore index
+// triangles through a non-injective `order` (the packet kernel's pages
+// store original triangle ids, so duplicate references simply report the
+// same hit — closest/any-hit semantics are unaffected).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Ref {
+    int tri;
+    AABB box;
+};
+
+// Clip triangle t's polygon to the axis slab [lo, hi], intersect the
+// resulting bounds with `within` (the reference's current box, which
+// carries earlier clips). Returns an empty (default) AABB when the
+// intersection is void.
+AABB clip_tri_slab(const float *v0, const float *v1, const float *v2,
+                   int t, int axis, float lo, float hi, const AABB &within) {
+    float poly[9][3];
+    int n = 3;
+    for (int a = 0; a < 3; ++a) {
+        poly[0][a] = v0[3 * t + a];
+        poly[1][a] = v1[3 * t + a];
+        poly[2][a] = v2[3 * t + a];
+    }
+    float tmp[9][3];
+    // two half-space clips: x[axis] >= lo, then x[axis] <= hi
+    for (int pass = 0; pass < 2; ++pass) {
+        float plane = pass == 0 ? lo : hi;
+        float sign = pass == 0 ? 1.0f : -1.0f;
+        int m = 0;
+        for (int i = 0; i < n; ++i) {
+            const float *a = poly[i];
+            const float *b = poly[(i + 1) % n];
+            float da = sign * (a[axis] - plane);
+            float db = sign * (b[axis] - plane);
+            if (da >= 0.0f) {
+                std::memcpy(tmp[m++], a, sizeof(float) * 3);
+            }
+            if ((da >= 0.0f) != (db >= 0.0f)) {
+                float f = da / (da - db);
+                for (int k = 0; k < 3; ++k)
+                    tmp[m][k] = a[k] + f * (b[k] - a[k]);
+                ++m;
+            }
+        }
+        std::memcpy(poly, tmp, sizeof(float) * 3 * m);
+        n = m;
+        if (n == 0) return AABB();
+    }
+    AABB out;
+    for (int i = 0; i < n; ++i) out.grow_point(poly[i]);
+    // respect earlier clips on other axes + guard fp drift
+    for (int a = 0; a < 3; ++a) {
+        out.lo[a] = std::max(out.lo[a], within.lo[a]);
+        out.hi[a] = std::min(out.hi[a], within.hi[a]);
+        if (out.lo[a] > out.hi[a]) return AABB();
+    }
+    return out;
+}
+
+struct SBuilder {
+    const float *v0;
+    const float *v1;
+    const float *v2;
+    int max_leaf;
+    float root_area = 0.0f;
+    long long dup_budget = 0;   // extra references allowed
+    static constexpr float kAlpha = 1e-5f;  // overlap gate for spatial tries
+
+    std::vector<int> order;        // tri id per reference, leaves contiguous
+    std::vector<float> node_lo;
+    std::vector<float> node_hi;
+    std::vector<int> leaf_start;
+    std::vector<int> leaf_count;
+    std::vector<int> subtree;
+
+    AABB tri_full_box(int t) const {
+        AABB b;
+        b.grow_point(&v0[3 * t]);
+        b.grow_point(&v1[3 * t]);
+        b.grow_point(&v2[3 * t]);
+        return b;
+    }
+
+    int build(std::vector<Ref> &refs) {
+        AABB bounds, cbounds;
+        for (const Ref &r : refs) {
+            bounds.grow(r.box);
+            for (int a = 0; a < 3; ++a) {
+                float c = 0.5f * (r.box.lo[a] + r.box.hi[a]);
+                cbounds.lo[a] = std::min(cbounds.lo[a], c);
+                cbounds.hi[a] = std::max(cbounds.hi[a], c);
+            }
+        }
+        int count = static_cast<int>(refs.size());
+        int node = static_cast<int>(leaf_start.size());
+        for (int a = 0; a < 3; ++a) {
+            node_lo.push_back(bounds.lo[a]);
+            node_hi.push_back(bounds.hi[a]);
+        }
+        leaf_start.push_back(-1);
+        leaf_count.push_back(0);
+        subtree.push_back(1);
+
+        // same leafing policy as the object-split builder: a leaf visit
+        // costs a full block regardless of fill, so never split below the
+        // block size
+        if (count <= max_leaf) {
+            leaf_start[node] = static_cast<int>(order.size());
+            leaf_count[node] = count;
+            for (const Ref &r : refs) order.push_back(r.tri);
+            return node;
+        }
+
+        int caxis = 0;
+        float cextent = -1.0f;
+        for (int a = 0; a < 3; ++a) {
+            float e = cbounds.hi[a] - cbounds.lo[a];
+            if (e > cextent) { cextent = e; caxis = a; }
+        }
+
+        // ---- object split (binned SAH over reference centroids) ----
+        float obj_cost = FLT_MAX;
+        float obj_plane = 0.0f;
+        bool have_obj = false;
+        AABB obj_l_box, obj_r_box;
+        if (count > 1 && cextent > 1e-12f) {
+            AABB bin_bounds[kNumBins];
+            int bin_count[kNumBins] = {0};
+            float k = kNumBins * (1.0f - 1e-6f) / cextent;
+            for (const Ref &r : refs) {
+                float c = 0.5f * (r.box.lo[caxis] + r.box.hi[caxis]);
+                int b = static_cast<int>(k * (c - cbounds.lo[caxis]));
+                b = std::min(std::max(b, 0), kNumBins - 1);
+                bin_count[b]++;
+                bin_bounds[b].grow(r.box);
+            }
+            AABB racc[kNumBins];
+            int rcnt[kNumBins];
+            AABB acc;
+            int rc = 0;
+            for (int b = kNumBins - 1; b >= 1; --b) {
+                acc.grow(bin_bounds[b]);
+                rc += bin_count[b];
+                racc[b] = acc;
+                rcnt[b] = rc;
+            }
+            AABB lacc;
+            int lc = 0;
+            for (int b = 0; b < kNumBins - 1; ++b) {
+                lacc.grow(bin_bounds[b]);
+                lc += bin_count[b];
+                if (lc == 0 || rcnt[b + 1] == 0) continue;
+                float cost = lacc.half_area() * lc
+                           + racc[b + 1].half_area() * rcnt[b + 1];
+                if (cost < obj_cost) {
+                    obj_cost = cost;
+                    obj_plane = cbounds.lo[caxis]
+                              + (b + 1) * cextent / kNumBins;
+                    obj_l_box = lacc;
+                    obj_r_box = racc[b + 1];
+                    have_obj = true;
+                }
+            }
+        }
+
+        // ---- spatial split (SBVH): tried when the object split's
+        // children overlap significantly and duplication budget remains --
+        float sp_cost = FLT_MAX;
+        int sp_axis = -1;
+        float sp_plane = 0.0f;
+        bool try_spatial = dup_budget > 0 && count > 1;
+        if (try_spatial && have_obj) {
+            AABB ov;
+            for (int a = 0; a < 3; ++a) {
+                ov.lo[a] = std::max(obj_l_box.lo[a], obj_r_box.lo[a]);
+                ov.hi[a] = std::min(obj_l_box.hi[a], obj_r_box.hi[a]);
+                if (ov.lo[a] > ov.hi[a]) { try_spatial = false; break; }
+            }
+            if (try_spatial && ov.half_area() <= kAlpha * root_area)
+                try_spatial = false;
+        }
+        if (try_spatial) {
+            for (int axis = 0; axis < 3; ++axis) {
+                float ext = bounds.hi[axis] - bounds.lo[axis];
+                if (ext <= 1e-12f) continue;
+                AABB bin_box[kNumBins];
+                int entry[kNumBins] = {0};
+                int exit_[kNumBins] = {0};
+                float k = kNumBins * (1.0f - 1e-6f) / ext;
+                for (const Ref &r : refs) {
+                    int b0 = static_cast<int>(
+                        k * (r.box.lo[axis] - bounds.lo[axis]));
+                    int b1 = static_cast<int>(
+                        k * (r.box.hi[axis] - bounds.lo[axis]));
+                    b0 = std::min(std::max(b0, 0), kNumBins - 1);
+                    b1 = std::min(std::max(b1, b0), kNumBins - 1);
+                    entry[b0]++;
+                    exit_[b1]++;
+                    if (b0 == b1) {
+                        bin_box[b0].grow(r.box);
+                    } else {
+                        for (int b = b0; b <= b1; ++b) {
+                            float blo = bounds.lo[axis] + b * ext / kNumBins;
+                            float bhi = bounds.lo[axis]
+                                      + (b + 1) * ext / kNumBins;
+                            AABB c = clip_tri_slab(v0, v1, v2, r.tri, axis,
+                                                   blo, bhi, r.box);
+                            if (c.lo[0] <= c.hi[0]) bin_box[b].grow(c);
+                        }
+                    }
+                }
+                AABB racc[kNumBins];
+                int rcnt[kNumBins];
+                AABB acc;
+                int rc = 0;
+                for (int b = kNumBins - 1; b >= 1; --b) {
+                    acc.grow(bin_box[b]);
+                    rc += exit_[b];
+                    racc[b] = acc;
+                    rcnt[b] = rc;
+                }
+                AABB lacc;
+                int lc = 0;
+                for (int b = 0; b < kNumBins - 1; ++b) {
+                    lacc.grow(bin_box[b]);
+                    lc += entry[b];
+                    if (lc == 0 || rcnt[b + 1] == 0) continue;
+                    float cost = lacc.half_area() * lc
+                               + racc[b + 1].half_area() * rcnt[b + 1];
+                    if (cost < sp_cost) {
+                        sp_cost = cost;
+                        sp_axis = axis;
+                        sp_plane = bounds.lo[axis]
+                                 + (b + 1) * ext / kNumBins;
+                    }
+                }
+            }
+        }
+
+        float best_split = std::min(obj_cost, sp_cost);
+        if (best_split == FLT_MAX) {
+            // degenerate: forced median object split on the widest axis
+            std::nth_element(
+                refs.begin(), refs.begin() + count / 2, refs.end(),
+                [&](const Ref &x, const Ref &y) {
+                    return x.box.lo[caxis] + x.box.hi[caxis]
+                         < y.box.lo[caxis] + y.box.hi[caxis];
+                });
+            std::vector<Ref> left(refs.begin(), refs.begin() + count / 2);
+            std::vector<Ref> right(refs.begin() + count / 2, refs.end());
+            refs.clear();
+            refs.shrink_to_fit();
+            int l = build(left);
+            int r = build(right);
+            subtree[node] = 1 + subtree[l] + subtree[r];
+            return node;
+        }
+        std::vector<Ref> left, right;
+        left.reserve(count);
+        right.reserve(count);
+        if (sp_cost < obj_cost) {
+            // spatial split: straddling references are duplicated, their
+            // boxes clipped to each side (tri re-clipped for tightness)
+            for (const Ref &r : refs) {
+                if (r.box.hi[sp_axis] <= sp_plane) {
+                    left.push_back(r);
+                } else if (r.box.lo[sp_axis] >= sp_plane) {
+                    right.push_back(r);
+                } else if (dup_budget <= 0) {
+                    float c = 0.5f * (r.box.lo[sp_axis] + r.box.hi[sp_axis]);
+                    (c < sp_plane ? left : right).push_back(r);
+                } else {
+                    AABB lb = clip_tri_slab(v0, v1, v2, r.tri, sp_axis,
+                                            -FLT_MAX, sp_plane, r.box);
+                    AABB rb = clip_tri_slab(v0, v1, v2, r.tri, sp_axis,
+                                            sp_plane, FLT_MAX, r.box);
+                    bool lok = lb.lo[0] <= lb.hi[0];
+                    bool rok = rb.lo[0] <= rb.hi[0];
+                    if (lok && rok) {
+                        left.push_back({r.tri, lb});
+                        right.push_back({r.tri, rb});
+                        --dup_budget;
+                    } else if (lok) {
+                        left.push_back({r.tri, lb});
+                    } else if (rok) {
+                        right.push_back({r.tri, rb});
+                    } else {
+                        // clipped away on both sides (fp edge): keep whole
+                        float c = 0.5f
+                                * (r.box.lo[sp_axis] + r.box.hi[sp_axis]);
+                        (c < sp_plane ? left : right).push_back(r);
+                    }
+                }
+            }
+        } else {
+            for (const Ref &r : refs) {
+                float c = 0.5f * (r.box.lo[caxis] + r.box.hi[caxis]);
+                (c < obj_plane ? left : right).push_back(r);
+            }
+        }
+        if (left.empty() || right.empty()
+            || (static_cast<int>(left.size()) >= count
+                && static_cast<int>(right.size()) >= count)) {
+            // no progress (empty side, or a spatial split that duplicated
+            // every reference): median split on original refs instead.
+            // De-duplicate back to one ref per tri with its pre-split box.
+            std::vector<Ref> all;
+            all.reserve(count);
+            size_t li = 0, ri = 0;
+            while (li < left.size() || ri < right.size()) {
+                if (li < left.size() && ri < right.size()
+                    && left[li].tri == right[ri].tri) {
+                    AABB m = left[li].box;
+                    m.grow(right[ri].box);
+                    all.push_back({left[li].tri, m});
+                    ++li; ++ri; ++dup_budget;
+                } else if (li < left.size()) {
+                    all.push_back(left[li++]);
+                } else {
+                    all.push_back(right[ri++]);
+                }
+            }
+            std::nth_element(
+                all.begin(), all.begin() + all.size() / 2, all.end(),
+                [&](const Ref &x, const Ref &y) {
+                    return x.box.lo[caxis] + x.box.hi[caxis]
+                         < y.box.lo[caxis] + y.box.hi[caxis];
+                });
+            left.assign(all.begin(), all.begin() + all.size() / 2);
+            right.assign(all.begin() + all.size() / 2, all.end());
+        }
+        refs.clear();
+        refs.shrink_to_fit();
+        int l = build(left);
+        int r = build(right);
+        subtree[node] = 1 + subtree[l] + subtree[r];
+        return node;
+    }
+};
+
+}  // namespace
+
 extern "C" {
 
 // Returns the node count (preorder). Caller provides output buffers sized
@@ -216,6 +569,53 @@ int pt_build_sah_bvh(const float *tri_lo, const float *tri_hi,
     std::memcpy(out_leaf_start, b.leaf_start.data(), sizeof(int) * n);
     std::memcpy(out_leaf_count, b.leaf_count.data(), sizeof(int) * n);
     for (int i = 0; i < n; ++i) out_miss[i] = i + b.subtree[i];
+    return n;
+}
+
+// SBVH build (spatial splits; references may duplicate triangles).
+// Inputs: v0/v1/v2 (num_tris, 3) triangle vertices; max_refs caps the
+// total reference count (callers size out_order[max_refs] and node
+// buffers [2*max_refs+1]). Writes the reference count to *out_num_refs;
+// returns the node count (preorder), 0 on empty input.
+int pt_build_sbvh(const float *v0, const float *v1, const float *v2,
+                  int num_tris, int max_leaf, int max_refs,
+                  int *out_order, float *out_node_lo, float *out_node_hi,
+                  int *out_miss, int *out_leaf_start, int *out_leaf_count,
+                  int *out_num_refs) {
+    if (num_tris <= 0 || max_refs < num_tris) return 0;
+    SBuilder b;
+    b.v0 = v0;
+    b.v1 = v1;
+    b.v2 = v2;
+    b.max_leaf = std::max(1, max_leaf);
+    b.dup_budget = max_refs - num_tris;
+
+    std::vector<Ref> refs(num_tris);
+    AABB root;
+    for (int t = 0; t < num_tris; ++t) {
+        refs[t] = {t, b.tri_full_box(t)};
+        root.grow(refs[t].box);
+    }
+    b.root_area = root.half_area();
+    size_t reserve = 2 * static_cast<size_t>(max_refs);
+    b.order.reserve(max_refs);
+    b.node_lo.reserve(3 * reserve);
+    b.node_hi.reserve(3 * reserve);
+    b.leaf_start.reserve(reserve);
+    b.leaf_count.reserve(reserve);
+    b.subtree.reserve(reserve);
+
+    b.build(refs);
+
+    int n = static_cast<int>(b.leaf_start.size());
+    int nrefs = static_cast<int>(b.order.size());
+    std::memcpy(out_order, b.order.data(), sizeof(int) * nrefs);
+    std::memcpy(out_node_lo, b.node_lo.data(), sizeof(float) * 3 * n);
+    std::memcpy(out_node_hi, b.node_hi.data(), sizeof(float) * 3 * n);
+    std::memcpy(out_leaf_start, b.leaf_start.data(), sizeof(int) * n);
+    std::memcpy(out_leaf_count, b.leaf_count.data(), sizeof(int) * n);
+    for (int i = 0; i < n; ++i) out_miss[i] = i + b.subtree[i];
+    *out_num_refs = nrefs;
     return n;
 }
 

@@ -56,6 +56,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pt_build_sah_bvh.argtypes = [f32p, f32p, f32p, ctypes.c_int,
                                          ctypes.c_int, i32p, f32p, f32p,
                                          i32p, i32p, i32p]
+        lib.pt_build_sbvh.restype = ctypes.c_int
+        lib.pt_build_sbvh.argtypes = [f32p, f32p, f32p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int, i32p,
+                                      f32p, f32p, i32p, i32p, i32p, i32p]
         _lib_handle = lib
         return lib
 
@@ -99,3 +103,45 @@ def build_sah(tri_lo: np.ndarray, tri_hi: np.ndarray, centroids: np.ndarray,
         return None
     return (order, node_lo[:n], node_hi[:n], miss[:n], leaf_start[:n],
             leaf_count[:n])
+
+
+def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+               max_leaf: int,
+               ref_budget: float = 1.75) -> Optional[Tuple[np.ndarray, ...]]:
+    """Run the native SBVH build (binned SAH + spatial splits, Stich et
+    al. 2009). Triangles may be referenced by several leaves with clipped
+    bounds, so `order` is a reference list (len ≥ T) rather than a
+    permutation. Inputs are (T, 3) float32 vertex arrays; `ref_budget`
+    caps total references at budget·T. Returns (order, node_lo, node_hi,
+    miss, leaf_start, leaf_count) in threaded preorder, or None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    t = v0.shape[0]
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    max_refs = max(t, int(ref_budget * t) + 16)
+    cap = 2 * max_refs + 1
+    order = np.zeros(max_refs, np.int32)
+    node_lo = np.zeros((cap, 3), np.float32)
+    node_hi = np.zeros((cap, 3), np.float32)
+    miss = np.zeros(cap, np.int32)
+    leaf_start = np.zeros(cap, np.int32)
+    leaf_count = np.zeros(cap, np.int32)
+    nrefs = np.zeros(1, np.int32)
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    as_f = lambda a: a.ctypes.data_as(f32p)
+    as_i = lambda a: a.ctypes.data_as(i32p)
+    n = lib.pt_build_sbvh(as_f(v0), as_f(v1), as_f(v2), t, max_leaf,
+                          max_refs, as_i(order), as_f(node_lo),
+                          as_f(node_hi), as_i(miss), as_i(leaf_start),
+                          as_i(leaf_count), as_i(nrefs))
+    if n <= 0:
+        return None
+    return (order[:int(nrefs[0])], node_lo[:n], node_hi[:n], miss[:n],
+            leaf_start[:n], leaf_count[:n])

@@ -1198,13 +1198,20 @@ def build_packet_bvh(positions: jax.Array, tri_idx: jax.Array,
 def build_packet_bvh_sah(positions_np, tri_idx_np,
                          block: int = TRIS_PER_BLOCK,
                          max_leaves: int = None,
-                         tri_opaque_np=None):
+                         tri_opaque_np=None,
+                         spatial: bool = False,
+                         ref_budget: float = 1.75):
     """Host-side build using the native binned-SAH builder
     (csrc/sah_bvh.cpp) — higher-quality trees for static scenes
     (≙ PREFER_FAST_TRACE builds). Returns None when the native library is
     unavailable. The block size grows until the tree fits the SMEM budget.
+
+    `spatial=True` uses the SBVH variant (spatial splits): triangles may
+    be referenced by several leaves with clipped bounds, tightening leaf
+    boxes around large/thin geometry at the cost of up to
+    `ref_budget`·T references.
     """
-    from pt.accel.native import build_sah
+    from pt.accel.native import build_sah, build_sbvh
 
     max_nodes = 2 * (max_leaves or MAX_TOP_LEAVES) - 1
     block = max(32, -(-block // 32) * 32)   # page-group granularity
@@ -1219,7 +1226,10 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
 
     result = None
     while block <= 1024:
-        result = build_sah(tri_lo, tri_hi, centroids, block)
+        if spatial:
+            result = build_sbvh(v0, v1, v2, block, ref_budget)
+        else:
+            result = build_sah(tri_lo, tri_hi, centroids, block)
         if result is None:
             return None
         if len(result[3]) <= max_nodes:
