@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("render", help="offline render to image/video")
     r.add_argument("--scene", default="Test Scenes/Default",
-                   help='"Group/Name" from list-scenes, or a .gltf/.glb path')
+                   help='"Group/Name" from list-scenes, or a '
+                        '.gltf/.glb/.obj/.fbx path')
     r.add_argument("--out", default="render.png")
     r.add_argument("--size", type=_parse_size, default=(1280, 720),
                    metavar="WxH")
@@ -98,7 +99,7 @@ def _load_app(args, width, height):
         + (["-S", args.scenes] if args.scenes else []))
     app = Application(cfg)
     scene = getattr(args, "scene", "Test Scenes/Default")
-    if scene.endswith((".gltf", ".glb", ".obj")):
+    if scene.endswith((".gltf", ".glb", ".obj", ".fbx")):
         from pt.scene.manager import SceneDescription
         loader = SceneDescription("cli", [scene]).to_loader()
         if loader is None:

@@ -1,0 +1,410 @@
+"""Binary FBX importer (dependency-free, static-mesh subset).
+
+Counterpart of the reference's assimp FBX path (SceneImporter.cpp:
+1060-1075 reads FBX through assimp; materials arrive as Phong,
+SceneImporter.cpp:~300 material-type inference): pt reads the binary FBX
+container natively. Supported subset — the same things the reference's
+scenes actually use from FBX:
+
+* node records (32-bit ≤7.4 and 64-bit ≥7.5 layouts), zlib-compressed
+  array properties
+* Objects/Geometry meshes: Vertices, PolygonVertexIndex (fan
+  triangulation), LayerElementNormal / LayerElementUV in every
+  mapping/reference combination (ByPolygonVertex, ByVertice, ByPolygon,
+  AllSame × Direct, IndexToDirect)
+* Objects/Model transform: Lcl Translation / Rotation (euler XYZ,
+  degrees) / Scaling, PreRotation, nested model hierarchy via OO
+  connections
+* Objects/Material: DiffuseColor/SpecularColor/EmissiveColor,
+  Shininess, Opacity → PhongMaterial (assimp reports FBX surface
+  materials as Phong)
+* Objects/Texture → material DiffuseColor/NormalMap/... via OP
+  connections; file paths resolved relative to the .fbx
+
+Not supported (documented, like FBX-era assimp features pt's scenes
+never used): skin deformers, animation curves, ASCII FBX.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import struct
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from pt.scene.builder import SceneBuilder
+from pt.scene.types import (Geometry, MeshInfo, PhongMaterial, TextureInfo,
+                            TextureType)
+
+_MAGIC = b"Kaydara FBX Binary  \x00\x1a\x00"
+
+
+class FbxNode:
+    __slots__ = ("name", "props", "children")
+
+    def __init__(self, name: str, props: list, children: list):
+        self.name = name
+        self.props = props
+        self.children = children
+
+    def find(self, name: str) -> Optional["FbxNode"]:
+        for c in self.children:
+            if c.name == name:
+                return c
+        return None
+
+    def find_all(self, name: str) -> List["FbxNode"]:
+        return [c for c in self.children if c.name == name]
+
+
+def _read_props(buf: memoryview, pos: int, count: int) -> Tuple[list, int]:
+    props = []
+    for _ in range(count):
+        code = chr(buf[pos])
+        pos += 1
+        if code == "Y":
+            props.append(struct.unpack_from("<h", buf, pos)[0]); pos += 2
+        elif code == "C":
+            props.append(bool(buf[pos])); pos += 1
+        elif code == "I":
+            props.append(struct.unpack_from("<i", buf, pos)[0]); pos += 4
+        elif code == "F":
+            props.append(struct.unpack_from("<f", buf, pos)[0]); pos += 4
+        elif code == "D":
+            props.append(struct.unpack_from("<d", buf, pos)[0]); pos += 8
+        elif code == "L":
+            props.append(struct.unpack_from("<q", buf, pos)[0]); pos += 8
+        elif code in "fdlib":
+            n, enc, clen = struct.unpack_from("<III", buf, pos)
+            pos += 12
+            raw = bytes(buf[pos:pos + clen])
+            pos += clen
+            if enc == 1:
+                raw = zlib.decompress(raw)
+            dtype = {"f": "<f4", "d": "<f8", "l": "<i8", "i": "<i4",
+                     "b": "b"}[code]
+            props.append(np.frombuffer(raw, dtype=dtype, count=n))
+        elif code == "S":
+            n = struct.unpack_from("<I", buf, pos)[0]
+            props.append(bytes(buf[pos + 4:pos + 4 + n]).decode(
+                "utf-8", errors="replace"))
+            pos += 4 + n
+        elif code == "R":
+            n = struct.unpack_from("<I", buf, pos)[0]
+            props.append(bytes(buf[pos + 4:pos + 4 + n]))
+            pos += 4 + n
+        else:
+            raise ValueError(f"unknown FBX property type {code!r}")
+    return props, pos
+
+
+def _read_node(buf: memoryview, pos: int,
+               wide: bool) -> Tuple[Optional[FbxNode], int]:
+    if wide:
+        end, nprops, _plen = struct.unpack_from("<QQQ", buf, pos)
+        pos += 24
+    else:
+        end, nprops, _plen = struct.unpack_from("<III", buf, pos)
+        pos += 12
+    name_len = buf[pos]
+    pos += 1
+    if end == 0 and nprops == 0 and name_len == 0:
+        return None, pos          # null record (child-list terminator)
+    name = bytes(buf[pos:pos + name_len]).decode("ascii", errors="replace")
+    pos += name_len
+    props, pos = _read_props(buf, pos, nprops)
+    children = []
+    while pos < end:
+        child, pos = _read_node(buf, pos, wide)
+        if child is None:
+            break
+        children.append(child)
+    return FbxNode(name, props, children), end
+
+
+def parse_fbx(data: bytes) -> Tuple[List[FbxNode], int]:
+    """Parse the top-level node list of a binary FBX. Returns
+    (nodes, version)."""
+    if not data.startswith(_MAGIC):
+        raise ValueError("not a binary FBX file (ASCII FBX needs "
+                         "pre-conversion)")
+    version = struct.unpack_from("<I", data, len(_MAGIC))[0]
+    wide = version >= 7500
+    buf = memoryview(data)
+    pos = len(_MAGIC) + 4
+    nodes = []
+    while pos < len(data):
+        node, pos = _read_node(buf, pos, wide)
+        if node is None:
+            break
+        nodes.append(node)
+    return nodes, version
+
+
+def _p70(node: Optional[FbxNode]) -> Dict[str, list]:
+    """Properties70 → {name: [values...]}. Each P: name, type, label,
+    flags, values..."""
+    out: Dict[str, list] = {}
+    if node is None:
+        return out
+    p70 = node.find("Properties70")
+    if p70 is None:
+        return out
+    for p in p70.find_all("P"):
+        if p.props:
+            out[p.props[0]] = p.props[4:]
+    return out
+
+
+def _rot_xyz(deg) -> np.ndarray:
+    rx, ry, rz = np.radians(np.asarray(deg, np.float64))
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    mx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    my = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    mz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    # FBX default rotation order eEulerXYZ: X applied first
+    return mz @ my @ mx
+
+
+def _local_matrix(props: Dict[str, list]) -> np.ndarray:
+    t = np.asarray(props.get("Lcl Translation", [0, 0, 0])[:3], np.float64)
+    r = props.get("Lcl Rotation", [0, 0, 0])[:3]
+    pre = props.get("PreRotation")
+    s = np.asarray(props.get("Lcl Scaling", [1, 1, 1])[:3], np.float64)
+    rot = _rot_xyz(r)
+    if pre is not None:
+        rot = _rot_xyz(pre[:3]) @ rot
+    m = np.eye(4)
+    m[:3, :3] = rot * s[None, :]
+    m[:3, 3] = t
+    return m
+
+
+def _layer_attr(geo: FbxNode, layer_name: str, data_name: str,
+                index_name: str, poly_vidx: np.ndarray,
+                tri_corners: np.ndarray, width: int) -> Optional[np.ndarray]:
+    """Resolve a layer element (normals/uv) to per-triangle-corner values.
+
+    poly_vidx: raw PolygonVertexIndex (negatives mark polygon ends);
+    tri_corners: (K,) indices into poly_vidx for each emitted corner."""
+    layer = geo.find(layer_name)
+    if layer is None:
+        return None
+    data_node = layer.find(data_name)
+    if data_node is None or not data_node.props:
+        return None
+    data = np.asarray(data_node.props[0], np.float32).reshape(-1, width)
+    mapping = (layer.find("MappingInformationType").props[0]
+               if layer.find("MappingInformationType") else "ByPolygonVertex")
+    ref = (layer.find("ReferenceInformationType").props[0]
+           if layer.find("ReferenceInformationType") else "Direct")
+    idx_node = layer.find(index_name)
+    indices = (np.asarray(idx_node.props[0], np.int64)
+               if ref == "IndexToDirect" and idx_node is not None
+               and idx_node.props else None)
+
+    vert_of_corner = np.where(poly_vidx < 0, -poly_vidx - 1, poly_vidx)
+    if mapping == "ByPolygonVertex":
+        per = np.arange(len(poly_vidx))
+    elif mapping in ("ByVertice", "ByVertex"):
+        per = vert_of_corner
+    elif mapping == "ByPolygon":
+        poly_id = np.cumsum(np.concatenate([[0], (poly_vidx[:-1] < 0)]))
+        per = poly_id
+    elif mapping == "AllSame":
+        per = np.zeros(len(poly_vidx), np.int64)
+    else:
+        return None
+    if indices is not None:
+        per = indices[np.minimum(per, len(indices) - 1)]
+    per = np.minimum(per, len(data) - 1)
+    return data[per[tri_corners]]
+
+
+def import_fbx(builder: SceneBuilder, path) -> None:
+    """Parse a binary .fbx into the builder: one model per FBX Model node
+    (world transform from the OO hierarchy), one mesh per connected
+    geometry+material."""
+    path = pathlib.Path(path)
+    nodes, _version = parse_fbx(path.read_bytes())
+    top = {n.name: n for n in nodes}
+    objects = top.get("Objects")
+    connections = top.get("Connections")
+    if objects is None:
+        raise ValueError(f"no Objects section in {path}")
+
+    geoms: Dict[int, FbxNode] = {}
+    models: Dict[int, FbxNode] = {}
+    materials: Dict[int, FbxNode] = {}
+    textures: Dict[int, FbxNode] = {}
+    for o in objects.children:
+        if not o.props:
+            continue
+        oid = int(o.props[0])
+        if o.name == "Geometry":
+            geoms[oid] = o
+        elif o.name == "Model":
+            models[oid] = o
+        elif o.name == "Material":
+            materials[oid] = o
+        elif o.name == "Texture":
+            textures[oid] = o
+
+    # connections: child → parent (OO), child → (parent, property) (OP)
+    oo_parent: Dict[int, List[int]] = {}
+    op_links: List[Tuple[int, int, str]] = []
+    if connections is not None:
+        for c in connections.find_all("C"):
+            kind = c.props[0]
+            child, parent = int(c.props[1]), int(c.props[2])
+            if kind == "OO":
+                oo_parent.setdefault(child, []).append(parent)
+            elif kind == "OP" and len(c.props) >= 4:
+                op_links.append((child, parent, str(c.props[3])))
+
+    def children_of(parent: int, pool: dict) -> List[int]:
+        return [c for c, ps in oo_parent.items()
+                if parent in ps and c in pool]
+
+    # world transforms: walk OO model hierarchy up to the root (id 0)
+    def world_matrix(mid: int) -> np.ndarray:
+        m = _local_matrix(_p70(models[mid]))
+        for p in oo_parent.get(mid, []):
+            if p in models:
+                return world_matrix(p) @ m
+        return m
+
+    # material build (assimp maps FBX surface materials to Phong)
+    tex_of_mat: Dict[int, Dict[str, int]] = {}
+    for tex_id, parent, prop in op_links:
+        if tex_id in textures and parent in materials:
+            tex_of_mat.setdefault(parent, {})[prop] = tex_id
+
+    def add_texture(tex_id: Optional[int],
+                    ttype: TextureType) -> Optional[int]:
+        if tex_id is None:
+            return None
+        tn = textures[tex_id]
+        fn = None
+        for key in ("RelativeFilename", "FileName"):
+            node = tn.find(key)
+            if node is not None and node.props and node.props[0]:
+                fn = str(node.props[0]).replace("\\", "/")
+                p = path.parent / pathlib.Path(fn).name
+                if not p.exists():
+                    p = path.parent / fn
+                if p.exists():
+                    return builder.add_texture(TextureInfo(
+                        name=pathlib.Path(fn).name, type=ttype, path=str(p),
+                        is_srgb=ttype in (TextureType.COLOR,
+                                          TextureType.EMISSIVE)))
+        return None
+
+    mat_index: Dict[int, int] = {}
+
+    def build_material(mat_id: Optional[int]) -> int:
+        if mat_id is None:
+            return builder.add_material(f"{path.stem}:default",
+                                        PhongMaterial())
+        if mat_id in mat_index:
+            return mat_index[mat_id]
+        p = _p70(materials[mat_id])
+        links = tex_of_mat.get(mat_id, {})
+        kwargs = dict(
+            color=tuple(float(x) for x in
+                        p.get("DiffuseColor", [0.8, 0.8, 0.8])[:3])
+            + (float(p.get("Opacity", [1.0])[0]),),
+            specular=tuple(float(x) for x in
+                           p.get("SpecularColor", [0, 0, 0])[:3]),
+            shininess=float(p.get("Shininess", [0.0])[0]),
+            emissive_color=tuple(float(x) for x in
+                                 p.get("EmissiveColor", [0, 0, 0])[:3]),
+        )
+        kwargs["emissive_intensity"] = \
+            1.0 if any(kwargs["emissive_color"]) else 0.0
+        tex = add_texture(links.get("DiffuseColor"), TextureType.COLOR)
+        if tex is not None:
+            kwargs["color_idx"] = tex
+        tex = add_texture(links.get("SpecularColor"), TextureType.SPECULAR)
+        if tex is not None:
+            kwargs["specular_idx"] = tex
+        tex = add_texture(links.get("NormalMap") or links.get("Bump"),
+                          TextureType.NORMAL)
+        if tex is not None:
+            kwargs["normal_idx"] = tex
+        tex = add_texture(links.get("EmissiveColor"), TextureType.EMISSIVE)
+        if tex is not None:
+            kwargs["emissive_idx"] = tex
+        name_prop = materials[mat_id].props
+        name = (str(name_prop[1]).split("\x00")[0]
+                if len(name_prop) > 1 else str(mat_id))
+        idx = builder.add_material(f"{path.stem}:{name}",
+                                   PhongMaterial(**kwargs))
+        mat_index[mat_id] = idx
+        return idx
+
+    imported = 0
+    for model_id, model in models.items():
+        geo_ids = children_of(model_id, geoms)
+        if not geo_ids:
+            continue
+        mat_ids = children_of(model_id, materials)
+        world = world_matrix(model_id)
+        meshes = []
+        for gid in geo_ids:
+            geo = geoms[gid]
+            vnode = geo.find("Vertices")
+            inode = geo.find("PolygonVertexIndex")
+            if vnode is None or inode is None or not vnode.props:
+                continue
+            verts = np.asarray(vnode.props[0], np.float64).reshape(-1, 3)
+            pvi = np.asarray(inode.props[0], np.int64)
+
+            # fan-triangulate: polygon ends at negative index (~x)
+            corners: List[int] = []       # indices into pvi
+            poly_start = 0
+            for i, v in enumerate(pvi):
+                if v < 0:
+                    for k in range(poly_start + 1, i):
+                        corners.extend((poly_start, k, k + 1))
+                    poly_start = i + 1
+            tri_corners = np.asarray(corners, np.int64)
+            if len(tri_corners) == 0:
+                continue
+            vert_ids = np.where(pvi < 0, -pvi - 1, pvi)[tri_corners]
+            pos = verts[vert_ids].astype(np.float32)
+
+            nrm = _layer_attr(geo, "LayerElementNormal", "Normals",
+                              "NormalsIndex", pvi, tri_corners, 3)
+            if nrm is None:
+                p0 = pos[0::3]
+                fn = np.cross(pos[1::3] - p0, pos[2::3] - p0)
+                ln = np.linalg.norm(fn, axis=-1, keepdims=True)
+                fn = fn / np.maximum(ln, 1e-20)
+                nrm = np.repeat(fn, 3, axis=0).astype(np.float32)
+            uv = _layer_attr(geo, "LayerElementUV", "UV", "UVIndex",
+                             pvi, tri_corners, 2)
+            if uv is None:
+                uv = np.zeros((len(pos), 2), np.float32)
+            else:
+                uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)
+
+            mat_id = mat_ids[0] if mat_ids else None
+            mid = build_material(mat_id)
+            vbase = builder.add_vertices(pos, uv.astype(np.float32),
+                                         nrm.astype(np.float32))
+            ibase = builder.add_indices(
+                np.arange(len(pos), dtype=np.uint32))
+            g = builder.add_geometry(Geometry(vbase, len(pos), ibase,
+                                              len(pos), is_opaque=True))
+            meshes.append(MeshInfo(g, mid))
+        if meshes:
+            node = builder.add_scene_node(0, world.astype(np.float32))
+            builder.add_model_instance(builder.add_model(meshes), node)
+            imported += 1
+    if imported == 0:
+        raise ValueError(f"no mesh models in {path}")

@@ -59,6 +59,9 @@ class CombinedSceneLoader(SceneLoader):
                 if path.suffix.lower() == ".obj":
                     from pt.scene.obj import import_obj
                     import_obj(builder, path)
+                elif path.suffix.lower() == ".fbx":
+                    from pt.scene.fbx import import_fbx
+                    import_fbx(builder, path)
                 else:
                     from pt.scene.gltf import import_gltf
                     import_gltf(builder, path, self.texture_mapping)

@@ -1,0 +1,230 @@
+"""Binary FBX importer tests (pt/scene/fbx.py).
+
+A minimal binary-FBX writer lives here (tests only) so the importer is
+exercised on real container bytes: node records in both the 32-bit
+(≤7.4) and 64-bit (≥7.5) layouts, zlib-compressed arrays, layer
+mapping/reference combinations, the OO model hierarchy, and OP
+material-texture links."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pt.scene.builder import SceneBuilder
+from pt.scene.fbx import import_fbx, parse_fbx
+
+MAGIC = b"Kaydara FBX Binary  \x00\x1a\x00"
+
+
+def _prop(v):
+    if isinstance(v, bool):
+        return b"C" + bytes([v])
+    if isinstance(v, int):
+        return b"L" + struct.pack("<q", v)
+    if isinstance(v, float):
+        return b"D" + struct.pack("<d", v)
+    if isinstance(v, str):
+        b = v.encode()
+        return b"S" + struct.pack("<I", len(b)) + b
+    if isinstance(v, np.ndarray):
+        code = {"float64": b"d", "float32": b"f", "int64": b"l",
+                "int32": b"i"}[str(v.dtype)]
+        raw = v.tobytes()
+        comp = zlib.compress(raw)
+        return (code + struct.pack("<III", v.size, 1, len(comp)) + comp)
+    raise TypeError(type(v))
+
+
+def _node(name, props=(), children=(), wide=False, base=0):
+    """Serialize one node record at absolute offset `base`."""
+    name_b = name.encode()
+    props_b = b"".join(_prop(p) for p in props)
+    hdr = 25 if wide else 13
+    hdr_fmt = "<QQQB" if wide else "<IIIB"
+    null = b"\0" * hdr
+    # children rendered after the header+name+props
+    body_off = base + hdr + len(name_b) + len(props_b)
+    kids = b""
+    for c in children:
+        kids += c(wide, body_off + len(kids))
+    if children:
+        kids += null
+    end = body_off + len(kids)
+    return struct.pack(hdr_fmt, end, len(props), len(props_b),
+                       len(name_b)) + name_b + props_b + kids
+
+
+def N(name, props=(), children=()):
+    return lambda wide, base: _node(name, props, children, wide, base)
+
+
+def write_fbx(path, top_nodes, version=7400):
+    wide = version >= 7500
+    out = MAGIC + struct.pack("<I", version)
+    for n in top_nodes:
+        out += n(wide, len(out))
+    out += b"\0" * (25 if wide else 13)
+    path.write_bytes(out)
+
+
+def _cube_fbx(version=7400, mapping="ByPolygonVertex", ref="Direct",
+              diffuse=(0.8, 0.2, 0.2), translation=(0.0, 2.0, 0.0)):
+    """Quad-faced unit cube: 8 verts, 6 polygons, normals + UVs."""
+    verts = np.asarray([
+        [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+        [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float64)
+    polys = [(0, 1, 2, 3), (4, 7, 6, 5), (0, 4, 5, 1),
+             (2, 6, 7, 3), (0, 3, 7, 4), (1, 5, 6, 2)]
+    pvi = []
+    for p in polys:
+        pvi.extend(p[:-1])
+        pvi.append(~p[-1])
+    pvi = np.asarray(pvi, np.int32)
+    fnormals = np.asarray([[0, 0, -1], [0, 0, 1], [0, -1, 0],
+                           [0, 1, 0], [-1, 0, 0], [1, 0, 0]], np.float64)
+    if mapping == "ByPolygonVertex":
+        nrm = np.repeat(fnormals, 4, axis=0).reshape(-1)
+    elif mapping == "ByPolygon":
+        nrm = fnormals.reshape(-1)
+    else:  # ByVertice: vertex normals (cube corner average, unnormalized ok)
+        nrm = (verts / np.linalg.norm(verts, axis=-1,
+                                      keepdims=True)).reshape(-1)
+    uv_data = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64)
+    uv_idx = np.tile(np.arange(4, dtype=np.int32), 6).astype(np.int32)
+
+    norm_children = [
+        N("MappingInformationType", [mapping]),
+        N("ReferenceInformationType", ["Direct"]),
+        N("Normals", [np.asarray(nrm, np.float64)])]
+    uv_children = [
+        N("MappingInformationType", ["ByPolygonVertex"]),
+        N("ReferenceInformationType", [ref]),
+    ]
+    if ref == "IndexToDirect":
+        uv_children += [N("UV", [uv_data.reshape(-1)]),
+                        N("UVIndex", [uv_idx])]
+    else:
+        uv_children += [N("UV", [uv_data.reshape(-1)[
+            np.repeat(uv_idx, 2) * 2 + np.tile([0, 1], len(uv_idx))]])]
+
+    geometry = N("Geometry", [1001, "cube\x00\x01Geometry", "Mesh"], [
+        N("Vertices", [verts.reshape(-1)]),
+        N("PolygonVertexIndex", [pvi]),
+        N("LayerElementNormal", [0], norm_children),
+        N("LayerElementUV", [0], uv_children)])
+    model = N("Model", [2001, "cube\x00\x01Model", "Mesh"], [
+        N("Properties70", [], [
+            N("P", ["Lcl Translation", "Lcl Translation", "", "A",
+                    *map(float, translation)]),
+            N("P", ["Lcl Scaling", "Lcl Scaling", "", "A",
+                    2.0, 2.0, 2.0])])])
+    material = N("Material", [3001, "red\x00\x01Material", ""], [
+        N("Properties70", [], [
+            N("P", ["DiffuseColor", "Color", "", "A", *map(float, diffuse)]),
+            N("P", ["SpecularColor", "Color", "", "A", 0.3, 0.3, 0.3]),
+            N("P", ["Shininess", "double", "Number", "", 32.0]),
+            N("P", ["Opacity", "double", "Number", "", 1.0])])])
+    objects = N("Objects", [], [geometry, model, material])
+    connections = N("Connections", [], [
+        N("C", ["OO", 1001, 2001]),
+        N("C", ["OO", 2001, 0]),
+        N("C", ["OO", 3001, 2001])])
+    return [objects, connections], version
+
+
+class TestParser:
+    @pytest.mark.parametrize("version", [7400, 7500])
+    def test_roundtrip_node_layouts(self, tmp_path, version):
+        nodes, _ = _cube_fbx(version)
+        f = tmp_path / "cube.fbx"
+        write_fbx(f, nodes, version)
+        top, ver = parse_fbx(f.read_bytes())
+        assert ver == version
+        names = [n.name for n in top]
+        assert "Objects" in names and "Connections" in names
+        objects = top[names.index("Objects")]
+        geo = objects.find("Geometry")
+        v = geo.find("Vertices").props[0]
+        assert v.shape == (24,)
+
+    def test_ascii_rejected(self, tmp_path):
+        f = tmp_path / "a.fbx"
+        f.write_bytes(b"; FBX 7.4.0 project file\n")
+        with pytest.raises(ValueError, match="binary"):
+            parse_fbx(f.read_bytes())
+
+
+class TestImport:
+    @pytest.mark.parametrize("version", [7400, 7500])
+    def test_cube_imports(self, tmp_path, version):
+        nodes, _ = _cube_fbx(version)
+        f = tmp_path / "cube.fbx"
+        write_fbx(f, nodes, version)
+        b = SceneBuilder("fbx")
+        import_fbx(b, f)
+        scene = b.create_scene()
+        assert len(scene.models) == 1
+        # 6 quads fan-triangulated → 12 tris → 36 corners
+        assert len(scene.indices) == 36
+        # Lcl Translation + Scaling applied on the instance node
+        m = scene.instance_transforms[0]
+        assert np.allclose(m[:3, 3], [0, 2, 0])
+        assert np.allclose(np.diag(m)[:3], [2, 2, 2])
+        mat = scene.materials_ph[scene.models[0].meshes[0].material_id >> 8]
+        assert np.allclose(mat.color[:3], (0.8, 0.2, 0.2))
+        assert mat.shininess == 32.0
+
+    @pytest.mark.parametrize("mapping", ["ByPolygon", "ByVertice"])
+    def test_normal_mappings(self, tmp_path, mapping):
+        nodes, _ = _cube_fbx(mapping=mapping)
+        f = tmp_path / "m.fbx"
+        write_fbx(f, nodes)
+        b = SceneBuilder("fbx")
+        import_fbx(b, f)
+        scene = b.create_scene()
+        n = scene.vertices.normals
+        assert len(n) == 36
+        assert np.isfinite(n).all()
+        assert (np.linalg.norm(n, axis=-1) > 0.5).all()
+
+    def test_uv_index_to_direct(self, tmp_path):
+        nodes, _ = _cube_fbx(ref="IndexToDirect")
+        f = tmp_path / "u.fbx"
+        write_fbx(f, nodes)
+        b = SceneBuilder("fbx")
+        import_fbx(b, f)
+        scene = b.create_scene()
+        uv = scene.vertices.tex_coords
+        # corners use the 4 canonical uv pairs (v flipped)
+        assert set(np.unique(uv[:, 0]).tolist()) <= {0.0, 1.0}
+
+    def test_renders_end_to_end(self, tmp_path):
+        """Imported FBX scene flattens and debug-renders."""
+        nodes, _ = _cube_fbx()
+        f = tmp_path / "r.fbx"
+        write_fbx(f, nodes)
+        b = SceneBuilder("fbx")
+        import_fbx(b, f)
+        from pt.core.camera import InputCamera
+        from pt.scene.types import DirectionalLight
+        b.set_directional_light(DirectionalLight(color=(1, 1, 1),
+                                                 direction=(0.3, 1, 0.2)))
+        b.add_camera(InputCamera(45.0, 100.0, 0.1, (0.0, -1.0, -8.0),
+                                 (0.0, 0.35, 1.0)))
+        scene = b.create_scene()
+        import numpy as np_
+        from pt.render.debug import DebugRenderMode, render_debug_image
+        from pt.render.textures import default_texture_pool
+        from pt.scene.flatten import flatten_scene
+        ds = flatten_scene(scene)
+        cam = scene.cameras[0]
+        cam.on_resize(32, 32)
+        img = np_.asarray(render_debug_image(
+            ds, default_texture_pool(), cam.inv_view.astype("float32"),
+            cam.inv_proj.astype("float32"), 32, 32,
+            DebugRenderMode.NORMAL))
+        assert np_.isfinite(img).all()
+        bg = np_.asarray([0.1, 0.1, 0.12])
+        assert (np_.abs(img - bg).sum(-1) > 1e-3).any(), "cube not visible"
