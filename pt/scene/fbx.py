@@ -21,8 +21,10 @@ scenes actually use from FBX:
 * Objects/Texture → material DiffuseColor/NormalMap/... via OP
   connections; file paths resolved relative to the .fbx
 
+Both container flavors parse: the binary format above and ASCII FBX
+(`Name: props { children }` records with `*N`/`a:` array blocks).
 Not supported (documented, like FBX-era assimp features pt's scenes
-never used): skin deformers, animation curves, ASCII FBX.
+never used): skin deformers, animation curves.
 """
 
 from __future__ import annotations
@@ -124,12 +126,150 @@ def _read_node(buf: memoryview, pos: int,
     return FbxNode(name, props, children), end
 
 
+class _AsciiScanner:
+    """Recursive-descent parser for ASCII FBX (the text twin of the
+    binary container: `Name: prop, prop { children }` records, `*N`
+    array markers with `a:` payload blocks)."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self.n = len(text)
+
+    def _skip_ws(self):
+        t, n = self.text, self.n
+        while self.pos < n:
+            c = t[self.pos]
+            if c == ";":
+                while self.pos < n and t[self.pos] != "\n":
+                    self.pos += 1
+            elif c.isspace():
+                self.pos += 1
+            else:
+                break
+
+    def parse_nodes(self) -> List[FbxNode]:
+        nodes = []
+        while True:
+            self._skip_ws()
+            if self.pos >= self.n or self.text[self.pos] == "}":
+                return nodes
+            nodes.append(self._parse_node())
+
+    @staticmethod
+    def _value(tok: str):
+        tok = tok.strip()
+        if not tok:
+            return None
+        if tok.startswith('"'):
+            s = tok[1:-1] if tok.endswith('"') else tok[1:]
+            # "Class::name" convention mirrors the binary's
+            # "name\x00\x01Class"; keep the full string (importer splits)
+            return s
+        try:
+            return int(tok)
+        except ValueError:
+            try:
+                return float(tok)
+            except ValueError:
+                return tok           # bare word (T, W, Y, ...)
+
+    def _scan_props(self) -> Tuple[list, Optional[int]]:
+        """Props up to '{' or end-of-line. Returns (props, array_len)."""
+        t, n = self.text, self.n
+        props: list = []
+        buf = ""
+        array_len = None
+        in_str = False
+        while self.pos < n:
+            c = t[self.pos]
+            if in_str:
+                buf += c
+                if c == '"':
+                    in_str = False
+                self.pos += 1
+                continue
+            if c == '"':
+                in_str = True
+                buf += c
+                self.pos += 1
+            elif c == ",":
+                props.append(self._value(buf))
+                buf = ""
+                self.pos += 1
+            elif c in "{\n}":
+                break
+            else:
+                buf += c
+                self.pos += 1
+        if buf.strip():
+            v = buf.strip()
+            if v.startswith("*"):
+                array_len = int(v[1:])
+            else:
+                props.append(self._value(buf))
+        return props, array_len
+
+    def _parse_array(self, count: int) -> np.ndarray:
+        """`{ a: csv... }` payload (may span lines)."""
+        t = self.text
+        self._skip_ws()
+        if t[self.pos] != "{":
+            raise ValueError("FBX ASCII: expected array block")
+        self.pos += 1
+        self._skip_ws()
+        if t[self.pos:self.pos + 2] == "a:":
+            self.pos += 2
+        end = t.index("}", self.pos)
+        payload = t[self.pos:end]
+        self.pos = end + 1
+        is_float = any(ch in payload for ch in ".eE")
+        vals = np.asarray([float(x) for x in payload.replace("\n", ",")
+                           .split(",") if x.strip()],
+                          np.float64 if is_float else np.int64)
+        return vals[:count] if len(vals) > count else vals
+
+    def _parse_node(self) -> FbxNode:
+        t = self.text
+        start = self.pos
+        while t[self.pos] != ":":
+            self.pos += 1
+        name = t[start:self.pos].strip()
+        self.pos += 1
+        props, array_len = self._scan_props()
+        children: List[FbxNode] = []
+        self._skip_ws()
+        if self.pos < self.n and t[self.pos] == "{":
+            if array_len is not None:
+                props.append(self._parse_array(array_len))
+            else:
+                self.pos += 1
+                children = self.parse_nodes()
+                self._skip_ws()
+                if self.pos < self.n and t[self.pos] == "}":
+                    self.pos += 1
+        return FbxNode(name, props, children)
+
+
+def _parse_ascii(text: str) -> Tuple[List[FbxNode], int]:
+    nodes = _AsciiScanner(text).parse_nodes()
+    version = 7400
+    for node in nodes:
+        if node.name == "FBXHeaderExtension":
+            v = node.find("FBXVersion")
+            if v is not None and v.props:
+                version = int(v.props[0])
+    return nodes, version
+
+
 def parse_fbx(data: bytes) -> Tuple[List[FbxNode], int]:
-    """Parse the top-level node list of a binary FBX. Returns
+    """Parse the top-level node list of a binary or ASCII FBX. Returns
     (nodes, version)."""
     if not data.startswith(_MAGIC):
-        raise ValueError("not a binary FBX file (ASCII FBX needs "
-                         "pre-conversion)")
+        head = data[:4096].lstrip()
+        if head.startswith(b";") or b"FBXHeaderExtension" in data[:65536]:
+            return _parse_ascii(data.decode("utf-8", errors="replace"))
+        raise ValueError("not a binary or ASCII FBX file")
     version = struct.unpack_from("<I", data, len(_MAGIC))[0]
     wide = version >= 7500
     buf = memoryview(data)

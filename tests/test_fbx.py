@@ -149,11 +149,83 @@ class TestParser:
         v = geo.find("Vertices").props[0]
         assert v.shape == (24,)
 
-    def test_ascii_rejected(self, tmp_path):
+    def test_garbage_rejected(self, tmp_path):
         f = tmp_path / "a.fbx"
-        f.write_bytes(b"; FBX 7.4.0 project file\n")
-        with pytest.raises(ValueError, match="binary"):
+        f.write_bytes(b"\x89PNG not an fbx at all")
+        with pytest.raises(ValueError, match="FBX"):
             parse_fbx(f.read_bytes())
+
+
+ASCII_CUBE = """; FBX 7.4.0 project file
+FBXHeaderExtension:  {
+\tFBXVersion: 7400
+}
+Objects:  {
+\tGeometry: 1001, "Geometry::cube", "Mesh" {
+\t\tVertices: *24 {
+\t\t\ta: -1,-1,-1,1,-1,-1,1,1,-1,-1,1,-1,-1,-1,1,1,-1,1,1,1,1,-1,1,1
+\t\t}
+\t\tPolygonVertexIndex: *30 {
+\t\t\ta: 0,1,2,-4,4,7,6,-6,0,4,5,-2,2,6,7,-4,0,3,7,-5,1,5,6,-3,0,1,-3,
+\t\t\t4,5,-7
+\t\t}
+\t\tLayerElementNormal: 0 {
+\t\t\tMappingInformationType: "ByPolygon"
+\t\t\tReferenceInformationType: "Direct"
+\t\t\tNormals: *24 {
+\t\t\t\ta: 0,0,-1,0,0,1,0,-1,0,0,1,0,-1,0,0,1,0,0,0,0,-1,0,0,1
+\t\t\t}
+\t\t}
+\t}
+\tModel: 2001, "Model::cube", "Mesh" {
+\t\tProperties70:  {
+\t\t\tP: "Lcl Translation", "Lcl Translation", "", "A",1,2,3
+\t\t}
+\t\tShading: T
+\t\tCulling: "CullingOff"
+\t}
+\tMaterial: 3001, "Material::green", "" {
+\t\tProperties70:  {
+\t\t\tP: "DiffuseColor", "Color", "", "A",0.1,0.9,0.2
+\t\t\tP: "Opacity", "double", "Number", "",1
+\t\t}
+\t}
+}
+Connections:  {
+\tC: "OO",1001,2001
+\tC: "OO",2001,0
+\tC: "OO",3001,2001
+}
+"""
+
+
+class TestAscii:
+    def test_ascii_cube_imports(self, tmp_path):
+        f = tmp_path / "cube_ascii.fbx"
+        f.write_text(ASCII_CUBE)
+        nodes, ver = parse_fbx(f.read_bytes())
+        assert ver == 7400
+        b = SceneBuilder("fbx")
+        import_fbx(b, f)
+        scene = b.create_scene()
+        # 6 quads + 2 extra tris in the index stream above
+        assert len(scene.indices) == 6 * 2 * 3 + 2 * 3
+        m = scene.instance_transforms[0]
+        assert np.allclose(m[:3, 3], [1, 2, 3])
+        mat = scene.materials_ph[scene.models[0].meshes[0].material_id >> 8]
+        assert np.allclose(mat.color[:3], (0.1, 0.9, 0.2))
+
+    def test_ascii_comments_and_bare_words(self, tmp_path):
+        """Comments, T/F bare words, tab indentation all tolerated."""
+        f = tmp_path / "c.fbx"
+        f.write_text(ASCII_CUBE.replace("Objects:",
+                                        "; a comment line\nObjects:"))
+        nodes, _ = parse_fbx(f.read_bytes())
+        names = [n.name for n in nodes]
+        assert "Objects" in names and "Connections" in names
+        model = [n for n in nodes[names.index("Objects")].children
+                 if n.name == "Model"][0]
+        assert model.find("Shading").props == ["T"]
 
 
 class TestImport:
