@@ -381,6 +381,10 @@ def import_fbx(builder: SceneBuilder, path) -> None:
     models: Dict[int, FbxNode] = {}
     materials: Dict[int, FbxNode] = {}
     textures: Dict[int, FbxNode] = {}
+    skins: Dict[int, FbxNode] = {}      # Deformer "Skin"
+    clusters: Dict[int, FbxNode] = {}   # Deformer "Cluster" (SubDeformer)
+    curve_nodes: Dict[int, FbxNode] = {}
+    curves: Dict[int, FbxNode] = {}
     for o in objects.children:
         if not o.props:
             continue
@@ -393,6 +397,13 @@ def import_fbx(builder: SceneBuilder, path) -> None:
             materials[oid] = o
         elif o.name == "Texture":
             textures[oid] = o
+        elif o.name in ("Deformer", "SubDeformer"):
+            kind = str(o.props[-1]) if len(o.props) >= 2 else ""
+            (skins if kind == "Skin" else clusters)[oid] = o
+        elif o.name == "AnimationCurveNode":
+            curve_nodes[oid] = o
+        elif o.name == "AnimationCurve":
+            curves[oid] = o
 
     # connections: child → parent (OO), child → (parent, property) (OP)
     oo_parent: Dict[int, List[int]] = {}
@@ -410,13 +421,23 @@ def import_fbx(builder: SceneBuilder, path) -> None:
         return [c for c, ps in oo_parent.items()
                 if parent in ps and c in pool]
 
-    # world transforms: walk OO model hierarchy up to the root (id 0)
-    def world_matrix(mid: int) -> np.ndarray:
-        m = _local_matrix(_p70(models[mid]))
+    # scene nodes for EVERY Model (bones and animation channels target
+    # nodes, so the full hierarchy must exist — local transforms compose
+    # through the scene graph like the reference's assimp node import)
+    node_of_model: Dict[int, int] = {}
+
+    def ensure_node(mid: int) -> int:
+        if mid in node_of_model:
+            return node_of_model[mid]
+        parent_node = 0
         for p in oo_parent.get(mid, []):
             if p in models:
-                return world_matrix(p) @ m
-        return m
+                parent_node = ensure_node(p)
+                break
+        n = builder.add_scene_node(parent_node,
+                                   _local_matrix(_p70(models[mid])))
+        node_of_model[mid] = n
+        return n
 
     # material build (assimp maps FBX surface materials to Phong)
     tex_of_mat: Dict[int, Dict[str, int]] = {}
@@ -487,13 +508,60 @@ def import_fbx(builder: SceneBuilder, path) -> None:
         mat_index[mat_id] = idx
         return idx
 
+    def skin_weights(gid: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Per-control-point (4,) bone indices/weights from the geometry's
+        Skin deformer clusters (≙ assimp aiBone import,
+        SceneImporter.cpp:420-453: ≤4 influences, normalized)."""
+        skin_ids = children_of(gid, skins)
+        if not skin_ids:
+            return None
+        cp_count = len(np.asarray(geoms[gid].find("Vertices").props[0])) // 3
+        influences: List[List[Tuple[float, int]]] = \
+            [[] for _ in range(cp_count)]
+        found = False
+        for sid in skin_ids:
+            for cid in children_of(sid, clusters):
+                c = clusters[cid]
+                idx_n, w_n = c.find("Indexes"), c.find("Weights")
+                t_n, tl_n = c.find("Transform"), c.find("TransformLink")
+                bone_models = children_of(cid, models)
+                if (idx_n is None or w_n is None or not bone_models
+                        or not idx_n.props or not w_n.props):
+                    continue
+                # FBX matrices: row-vector convention, translation in
+                # elements 12-14 → transpose into our column-vector form
+                t = (np.asarray(t_n.props[0], np.float64).reshape(4, 4).T
+                     if t_n is not None and t_n.props else np.eye(4))
+                tl = (np.asarray(tl_n.props[0],
+                                 np.float64).reshape(4, 4).T
+                      if tl_n is not None and tl_n.props else np.eye(4))
+                # offset (mesh→bone bind) = TransformLink⁻¹ · Transform
+                # (≙ aiBone::mOffsetMatrix)
+                offset = np.linalg.inv(tl) @ t
+                bone = builder.add_bone(f"{path.stem}:cluster{cid}",
+                                        ensure_node(bone_models[0]), offset)
+                for cp, w in zip(np.asarray(idx_n.props[0], np.int64),
+                                 np.asarray(w_n.props[0], np.float64)):
+                    if 0 <= cp < cp_count and w > 0:
+                        influences[int(cp)].append((float(w), bone))
+                        found = True
+        if not found:
+            return None
+        bidx = np.zeros((cp_count, 4), np.int32)
+        bw = np.zeros((cp_count, 4), np.float32)
+        for cp, infl in enumerate(influences):
+            for k, (w, bone) in enumerate(
+                    sorted(infl, reverse=True)[:4]):
+                bidx[cp, k] = bone
+                bw[cp, k] = w
+        return bidx, bw
+
     imported = 0
     for model_id, model in models.items():
         geo_ids = children_of(model_id, geoms)
         if not geo_ids:
             continue
         mat_ids = children_of(model_id, materials)
-        world = world_matrix(model_id)
         meshes = []
         for gid in geo_ids:
             geo = geoms[gid]
@@ -535,16 +603,142 @@ def import_fbx(builder: SceneBuilder, path) -> None:
 
             mat_id = mat_ids[0] if mat_ids else None
             mid = build_material(mat_id)
-            vbase = builder.add_vertices(pos, uv.astype(np.float32),
-                                         nrm.astype(np.float32))
-            ibase = builder.add_indices(
-                np.arange(len(pos), dtype=np.uint32))
-            g = builder.add_geometry(Geometry(vbase, len(pos), ibase,
-                                              len(pos), is_opaque=True))
+            skin = skin_weights(gid)
+            if skin is not None:
+                from pt.scene.builder import _make_tangents
+                bidx, bw = skin
+                tan, bit = _make_tangents(np.asarray(nrm, np.float32))
+                vbase = builder.add_animated_vertices(
+                    pos, uv.astype(np.float32), nrm.astype(np.float32),
+                    tan, bit, bidx[vert_ids], bw[vert_ids])
+                ibase = builder.add_animated_indices(
+                    np.arange(len(pos), dtype=np.uint32))
+                g = builder.add_geometry(Geometry(
+                    vbase, len(pos), ibase, len(pos), is_opaque=True,
+                    is_animated=True))
+            else:
+                vbase = builder.add_vertices(pos, uv.astype(np.float32),
+                                             nrm.astype(np.float32))
+                ibase = builder.add_indices(
+                    np.arange(len(pos), dtype=np.uint32))
+                g = builder.add_geometry(Geometry(vbase, len(pos), ibase,
+                                                  len(pos), is_opaque=True))
             meshes.append(MeshInfo(g, mid))
         if meshes:
-            node = builder.add_scene_node(0, world.astype(np.float32))
-            builder.add_model_instance(builder.add_model(meshes), node)
+            builder.add_model_instance(builder.add_model(meshes),
+                                       ensure_node(model_id))
             imported += 1
+
+    _import_animations(builder, path, models, curve_nodes, curves,
+                       op_links, node_of_model, ensure_node)
     if imported == 0:
         raise ValueError(f"no mesh models in {path}")
+
+
+_KTIME_PER_SEC = 46186158000.0    # FBX KTime ticks per second
+
+
+def _mat_to_quat(m: np.ndarray) -> np.ndarray:
+    """Rotation matrix → quaternion (w, x, y, z)."""
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.asarray([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                           (m[0, 2] - m[2, 0]) / s,
+                           (m[1, 0] - m[0, 1]) / s])
+    i = int(np.argmax(np.diag(m)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(1.0 + m[i, i] - m[j, j] - m[k, k], 1e-12)) * 2
+    q = np.zeros(4)
+    q[0] = (m[k, j] - m[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (m[j, i] + m[i, j]) / s
+    q[1 + k] = (m[k, i] + m[i, k]) / s
+    return q
+
+
+def _import_animations(builder, path, models, curve_nodes, curves,
+                       op_links, node_of_model, ensure_node) -> None:
+    """AnimationCurveNode/AnimationCurve → Animation clips (≙ assimp's
+    FBX animation import): per-channel KeyTime/KeyValueFloat curves are
+    resampled on the union of key times; euler XYZ rotation keys (with
+    PreRotation composed) convert to quaternions for the slerp channel."""
+    from pt.scene.graph import Animation, AnimationNode, KeySequence
+
+    # curve-node → model property ("Lcl Translation"/"Lcl Rotation"/
+    # "Lcl Scaling"); curve → curve-node channel ("d|X"/"d|Y"/"d|Z")
+    cn_target: Dict[int, Tuple[int, str]] = {}
+    cn_channels: Dict[int, Dict[str, int]] = {}
+    for child, parent, prop in op_links:
+        if child in curve_nodes and parent in models:
+            cn_target[child] = (parent, prop)
+        elif child in curves and parent in curve_nodes:
+            cn_channels.setdefault(parent, {})[prop] = child
+
+    by_model: Dict[int, Dict[str, Dict[str, Tuple[np.ndarray, np.ndarray]]]] = {}
+    max_t = 0.0
+    for cn_id, (model_id, prop) in cn_target.items():
+        if prop not in ("Lcl Translation", "Lcl Rotation", "Lcl Scaling"):
+            continue
+        chans = {}
+        for ch_name, cv_id in cn_channels.get(cn_id, {}).items():
+            cv = curves[cv_id]
+            kt, kv = cv.find("KeyTime"), cv.find("KeyValueFloat")
+            if kt is None or kv is None or not kt.props or not kv.props:
+                continue
+            times = np.asarray(kt.props[0], np.float64) / _KTIME_PER_SEC
+            vals = np.asarray(kv.props[0], np.float64)
+            if len(times) and len(vals):
+                chans[ch_name[-1].upper()] = (times, vals[:len(times)])
+                max_t = max(max_t, float(times[-1]))
+        if chans:
+            by_model.setdefault(model_id, {})[prop] = chans
+
+    if not by_model:
+        return
+
+    nodes = []
+    for model_id, channels in by_model.items():
+        p70 = _p70(models[model_id])
+        defaults = {
+            "Lcl Translation": np.asarray(
+                p70.get("Lcl Translation", [0, 0, 0])[:3], np.float64),
+            "Lcl Rotation": np.asarray(
+                p70.get("Lcl Rotation", [0, 0, 0])[:3], np.float64),
+            "Lcl Scaling": np.asarray(
+                p70.get("Lcl Scaling", [1, 1, 1])[:3], np.float64),
+        }
+        pre = p70.get("PreRotation")
+
+        def vec_track(prop: str) -> Tuple[np.ndarray, np.ndarray]:
+            chans = channels.get(prop, {})
+            if not chans:
+                return (np.asarray([0.0]), defaults[prop][None, :].copy())
+            union = np.unique(np.concatenate(
+                [t for t, _ in chans.values()]))
+            out = np.tile(defaults[prop], (len(union), 1))
+            for k, axis in enumerate("XYZ"):
+                if axis in chans:
+                    t, v = chans[axis]
+                    out[:, k] = np.interp(union, t, v)
+            return union, out
+
+        pt_t, pt_v = vec_track("Lcl Translation")
+        rt_t, rt_e = vec_track("Lcl Rotation")
+        sc_t, sc_v = vec_track("Lcl Scaling")
+        quats = []
+        for e in rt_e:
+            rot = _rot_xyz(e)
+            if pre is not None:
+                rot = _rot_xyz(pre[:3]) @ rot
+            quats.append(_mat_to_quat(rot))
+        nodes.append(AnimationNode(
+            scene_node_index=ensure_node(model_id),
+            positions=KeySequence(pt_t, pt_v),
+            rotations=KeySequence(rt_t, np.asarray(quats),
+                                  is_rotation=True),
+            scales=KeySequence(sc_t, sc_v)))
+
+    builder.add_animation(Animation(
+        nodes=nodes, ticks_per_second=1.0, duration=max(max_t, 1e-6),
+        name=f"{path.stem}:take"))

@@ -199,6 +199,76 @@ Connections:  {
 """
 
 
+class TestSkinning:
+    def _skinned_fbx(self, tmp_path):
+        """Quad with 4 control points: cps 0,1 bound to boneA (static),
+        cps 2,3 to boneB whose Lcl Translation animates +2x over 1 s."""
+        KTIME = 46186158000
+        verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                           np.float64)
+        pvi = np.asarray([0, 1, 3, ~2], np.int32)
+        eye16 = np.eye(4, dtype=np.float64).reshape(-1)
+        geometry = N("Geometry", [1001, "quad\x00\x01Geometry", "Mesh"], [
+            N("Vertices", [verts.reshape(-1)]),
+            N("PolygonVertexIndex", [pvi])])
+        mesh_model = N("Model", [2001, "quad\x00\x01Model", "Mesh"], [])
+        bone_a = N("Model", [4001, "boneA\x00\x01Model", "LimbNode"], [])
+        bone_b = N("Model", [4002, "boneB\x00\x01Model", "LimbNode"], [])
+        skin = N("Deformer", [5001, "s\x00\x01Deformer", "Skin"], [])
+        cl_a = N("Deformer", [5002, "ca\x00\x01SubDeformer", "Cluster"], [
+            N("Indexes", [np.asarray([0, 1], np.int32)]),
+            N("Weights", [np.asarray([1.0, 1.0], np.float64)]),
+            N("Transform", [eye16]),
+            N("TransformLink", [eye16])])
+        cl_b = N("Deformer", [5003, "cb\x00\x01SubDeformer", "Cluster"], [
+            N("Indexes", [np.asarray([2, 3], np.int32)]),
+            N("Weights", [np.asarray([1.0, 1.0], np.float64)]),
+            N("Transform", [eye16]),
+            N("TransformLink", [eye16])])
+        cn = N("AnimationCurveNode", [6001, "T\x00\x01AnimCurveNode", ""],
+               [N("Properties70", [], [])])
+        curve = N("AnimationCurve", [7001, "\x00\x01AnimCurve", ""], [
+            N("KeyTime", [np.asarray([0, KTIME], np.int64)]),
+            N("KeyValueFloat", [np.asarray([0.0, 2.0], np.float64)])])
+        objects = N("Objects", [], [geometry, mesh_model, bone_a, bone_b,
+                                    skin, cl_a, cl_b, cn, curve])
+        connections = N("Connections", [], [
+            N("C", ["OO", 1001, 2001]),
+            N("C", ["OO", 2001, 0]),
+            N("C", ["OO", 4001, 0]),
+            N("C", ["OO", 4002, 0]),
+            N("C", ["OO", 5001, 1001]),      # skin → geometry
+            N("C", ["OO", 5002, 5001]),      # clusters → skin
+            N("C", ["OO", 5003, 5001]),
+            N("C", ["OO", 4001, 5002]),      # bone models → clusters
+            N("C", ["OO", 4002, 5003]),
+            N("C", ["OP", 6001, 4002, "Lcl Translation"]),
+            N("C", ["OP", 7001, 6001, "d|X"])])
+        f = tmp_path / "skin.fbx"
+        write_fbx(f, [objects, connections])
+        return f
+
+    def test_skinned_import_and_lbs(self, tmp_path):
+        from pt.scene.flatten import (flatten_scene, update_seg_transforms,
+                                      world_vertices)
+        f = self._skinned_fbx(tmp_path)
+        b = SceneBuilder("fbx")
+        import_fbx(b, f)
+        scene = b.create_scene()
+        assert scene.has_skinned_geometry
+        assert len(scene.bones) == 2
+        assert len(scene.graph.animations) == 1
+        ds = flatten_scene(scene)
+        pos0 = np.asarray(world_vertices(ds)[0])
+        # rest pose: corner order 0,1,3,2 (quad fan 0-1-3, 0-3-2)
+        np.testing.assert_allclose(pos0[2], [1, 1, 0], atol=1e-5)
+        scene.update(0.5)    # boneB at +1 x
+        ds = update_seg_transforms(ds, scene)
+        pos1 = np.asarray(world_vertices(ds)[0])
+        np.testing.assert_allclose(pos1[0], [0, 0, 0], atol=1e-5)
+        np.testing.assert_allclose(pos1[2], [2, 1, 0], atol=1e-5)
+
+
 class TestAscii:
     def test_ascii_cube_imports(self, tmp_path):
         f = tmp_path / "cube_ascii.fbx"
