@@ -23,11 +23,12 @@ import time
 BASELINE_MRAYS = 200.0
 
 
-def measure(scene, width=512, height=512, steps=3) -> float:
+def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
     from pt.render.integrator import PathTracingSettings
     from pt.run.renderer import Renderer
 
-    renderer = Renderer(PathTracingSettings(sample_count=4, bounce_count=5,
+    renderer = Renderer(PathTracingSettings(sample_count=4,
+                                            bounce_count=bounces,
                                             backend="pallas"))
     renderer.set_scene(scene, stream_textures=False)
     renderer.on_resize(width, height)
@@ -52,6 +53,10 @@ def main() -> None:
 
     heightfield = measure(make_heightfield_scene(224))
     courtyard = measure(make_courtyard_scene())
+    # preview mode (≙ the reference's interactive low-bounce setting):
+    # coherent primary+NEE work, where packet traversal runs near its
+    # coherent rate — the user-facing interactive number
+    preview = measure(make_courtyard_scene(), bounces=1)
 
     # headline stays the heightfield for cross-round comparability
     # (round 1 measured 2.96 on it); the Sponza-class courtyard (213k
@@ -64,6 +69,7 @@ def main() -> None:
         "vs_baseline": round(heightfield / BASELINE_MRAYS, 4),
         "scene": "heightfield-100k-tris",
         "courtyard_sponza_class_mrays": round(courtyard, 3),
+        "courtyard_preview_1bounce_mrays": round(preview, 3),
     }))
 
 
