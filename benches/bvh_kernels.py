@@ -54,7 +54,7 @@ def main():
 
     rng = np.random.default_rng(0)
     o_np = rng.uniform(-9, 9, (N_RAYS, 3)).astype(np.float32)
-    o_np[:, 1] = rng.uniform(-3, 0, (N_RAYS,))
+    o_np[:, 1] = rng.uniform(0, 3, (N_RAYS,))
     d_np = rng.normal(size=(N_RAYS, 3))
     d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
     o, d = jnp.asarray(o_np), jnp.asarray(d_np.astype(np.float32))
@@ -95,7 +95,7 @@ def main():
     timed(packet_closest_v4, o, d, "closest v4 phase-split unsorted")
 
     # occlusion: shadow-like rays from surface points toward one light
-    light = jnp.asarray([0.0, 8.0, 0.0])
+    light = jnp.asarray([0.0, -8.0, 0.0])
     hit_t = jnp.where(jnp.isfinite(hit.t) & (hit.t < 1e3), hit.t, 2.0)
     sp = o_s + d_s * (hit_t[:, None] * 0.99)
     to_l = light[None, :] - sp

@@ -31,9 +31,9 @@ REPS = 10
 def make_scene(name):
     if name == "heightfield":
         from pt.scene.examples import make_heightfield_scene
-        return make_heightfield_scene(224), (-9, 9, -3, 0)
+        return make_heightfield_scene(224), (-9, 9, 0, 3)
     from pt.scene.standin import make_courtyard_scene
-    return make_courtyard_scene(), (-18, 18, -8, -0.2)
+    return make_courtyard_scene(), (-18, 18, 0.2, 8)
 
 
 def build(ds, wpos, spatial):

@@ -344,13 +344,12 @@ def create_heightfield_scene(builder: SceneBuilder, n: int = 224) -> None:
     gx, gz = np.meshgrid(xs, zs, indexing="ij")
     gy = (np.sin(gx * 1.3) * np.cos(gz * 1.1) * 0.8
           + 0.25 * np.sin(gx * 4.7) * np.sin(gz * 3.9)).astype(np.float32)
-    pos = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    pos = np.stack([gx, -gy, gz], axis=-1).reshape(-1, 3)
     # analytic-ish normals via central differences
     dy_dx = np.gradient(gy, axis=0)
     dy_dz = np.gradient(gy, axis=1)
-    nrm = np.stack([-dy_dx, np.ones_like(gy), -dy_dz], axis=-1).reshape(-1, 3)
+    nrm = np.stack([dy_dx, np.ones_like(gy), dy_dz], axis=-1).reshape(-1, 3)
     nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
-    nrm = -nrm  # world up is -y (reference camera convention)
     uv = np.stack([(gx + 10) / 20, (gz + 10) / 20], axis=-1).reshape(-1, 2)
 
     idx = np.arange(n * n).reshape(n, n)
@@ -358,7 +357,8 @@ def create_heightfield_scene(builder: SceneBuilder, n: int = 224) -> None:
     b = idx[1:, :-1].ravel()
     c = idx[1:, 1:].ravel()
     d = idx[:-1, 1:].ravel()
-    tris = np.concatenate([np.stack([a, b, c], -1), np.stack([c, d, a], -1)])
+    # winding chosen so the geometric normal matches the +y vertex normals
+    tris = np.concatenate([np.stack([a, c, b], -1), np.stack([c, a, d], -1)])
 
     vbase = builder.add_vertices(pos, uv, nrm)
     ibase = builder.add_indices((tris + 0).ravel())
@@ -369,9 +369,9 @@ def create_heightfield_scene(builder: SceneBuilder, n: int = 224) -> None:
     node = builder.add_scene_node(0, np.eye(4))
     builder.add_model_instance(model, node)
     builder.set_directional_light(DirectionalLight(color=(3.0, 2.9, 2.7),
-                                                   direction=(0.4, 0.8, 0.3)))
-    builder.add_camera(InputCamera(45.0, 100.0, 0.1, (0.0, -4.0, -14.0),
-                                   (0.0, 0.25, 1.0)))
+                                                   direction=(0.4, -0.8, 0.3)))
+    builder.add_camera(InputCamera(45.0, 100.0, 0.1, (0.0, 4.0, -14.0),
+                                   (0.0, -0.25, 1.0)))
 
 
 def create_reuse_mesh_scene(builder: SceneBuilder) -> None:

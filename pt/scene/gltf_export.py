@@ -313,7 +313,8 @@ def export_glb(scene: Scene, path: str) -> None:
         pos = np.asarray(cam.position, np.float64)
         fwd = np.asarray(cam.direction, np.float64)
         fwd = fwd / max(np.linalg.norm(fwd), 1e-12)
-        up = -np.asarray(cam.up_direction, np.float64)   # world up is -y
+        up = -np.asarray(cam.up_direction, np.float64)   # camera-up is -Y;
+        # world up is +Y (the Vulkan y-down raster cancels the camera flip)
         right = np.cross(up, fwd)
         right /= max(np.linalg.norm(right), 1e-12)
         up2 = np.cross(fwd, right)

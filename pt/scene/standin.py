@@ -78,14 +78,17 @@ def _grid_mesh(nx, nz, fx, scale_u=1.0):
     pos = fx(uu, vv)
     du = np.gradient(pos, axis=0)
     dv = np.gradient(pos, axis=1)
-    nrm = np.cross(du.reshape(-1, 3), dv.reshape(-1, 3))
+    # normals + winding flipped together relative to cross(du, dv): the
+    # +y-up re-authoring mirrors positions, so both must negate to keep
+    # geometric and vertex normals consistent-outward
+    nrm = -np.cross(du.reshape(-1, 3), dv.reshape(-1, 3))
     n = np.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = nrm / np.maximum(n, 1e-12)
     uv = np.stack([uu * scale_u, vv], -1).reshape(-1, 2)
     idx = np.arange(nx * nz).reshape(nx, nz)
     a, b = idx[:-1, :-1].ravel(), idx[1:, :-1].ravel()
     c, d = idx[1:, 1:].ravel(), idx[:-1, 1:].ravel()
-    tris = np.concatenate([np.stack([a, b, c], -1), np.stack([c, d, a], -1)])
+    tris = np.concatenate([np.stack([a, c, b], -1), np.stack([c, a, d], -1)])
     return pos.reshape(-1, 3), nrm, uv, tris
 
 
@@ -98,7 +101,7 @@ def _cylinder(radius, height, segs=32, rings=10):
     for ri, y in enumerate(ys):
         r = radius * bulge[ri]
         for si, t in enumerate(th):
-            pos.append((r * math.cos(t), -y, r * math.sin(t)))
+            pos.append((r * math.cos(t), y, r * math.sin(t)))
             nrm.append((math.cos(t), 0.0, math.sin(t)))
             uv.append((si / segs * 4, ri / (rings - 1)))
     tris = []
@@ -108,7 +111,7 @@ def _cylinder(radius, height, segs=32, rings=10):
             b = ri * segs + (si + 1) % segs
             c = a + segs
             d = b + segs
-            tris += [(a, b, c), (b, d, c)]
+            tris += [(a, c, b), (b, c, d)]
     return (np.asarray(pos, np.float32), np.asarray(nrm, np.float32),
             np.asarray(uv, np.float32), np.asarray(tris, np.int64))
 
@@ -216,7 +219,7 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
         z = (v - 0.5) * 18
         y = 0.04 * np.sin(x * 2.1) * np.cos(z * 1.7) \
             + 0.02 * np.sin(x * 7.3) * np.sin(z * 6.1)
-        return np.stack([x, -y, z], -1)       # world up is -y
+        return np.stack([x, y, z], -1)
 
     nf = max(2, int(150 * d))
     geo = _add_mesh(builder, *_grid_mesh(nf, nf, floor_f, scale_u=8.0))
@@ -231,7 +234,7 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
         def f(u, v):
             bump = 0.05 * np.sin(u * 23) * np.sin(v * 17)
             return np.stack([x0 + u * dx + bump * dz / math.hypot(dx, dz),
-                             -v * h,
+                             v * h,
                              z0 + u * dz - bump * dx / math.hypot(dx, dz)],
                             -1)
         g = _add_mesh(builder, *_grid_mesh(nu, nv, f, scale_u=6.0))
@@ -254,8 +257,8 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
                                              np.float32), bn, buv, bt)
     col_model = builder.add_model([
         MeshInfo(shaft, column_ms[0]),
-        MeshInfo(cap, column_ms[1], _tr(0, -6.1, 0)),
-        MeshInfo(cap, column_ms[2], _tr(0, 0.1, 0))])
+        MeshInfo(cap, column_ms[1], _tr(0, 6.1, 0)),
+        MeshInfo(cap, column_ms[2], _tr(0, -0.1, 0))])
     for i in range(18):
         x = -13.6 + i * 1.6
         for z in (-6.5, 6.5):
@@ -274,7 +277,7 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
         def cf(u, v, x0=x0, side=side, ph=ph):
             return np.stack([
                 x0 + u * 3.4,
-                -(0.4 + v * 5.0),
+                0.4 + v * 5.0,
                 side + 0.35 * np.sin(u * 9 + ph) * (0.3 + 0.7 * v)], -1)
         gcur = _add_mesh(builder, *_grid_mesh(nc, nc, cf, scale_u=2.0))
         builder.add_model_instance(
@@ -302,7 +305,7 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
         s = rng.uniform(0.3, 0.9)
         builder.add_model_instance(
             bush, builder.add_scene_node(
-                root, _tr(x, -s, z, s=s, ry=rng.uniform(0, 6.3))))
+                root, _tr(x, s, z, s=s, ry=rng.uniform(0, 6.3))))
 
     # --- rocks + pots + braziers -------------------------------------------
     rp, rn_, ruv, rt = _icosphere(max(1, int(3 * min(d, 1.0))))
@@ -314,21 +317,21 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
         s = rng.uniform(0.2, 0.6)
         builder.add_model_instance(
             rock_model if i % 3 else pot_model,
-            builder.add_scene_node(root, _tr(rng.uniform(-14, 14), -s * 0.4,
+            builder.add_scene_node(root, _tr(rng.uniform(-14, 14), s * 0.4,
                                              rng.uniform(-8, 8), s=s)))
 
     # braziers: emissive spheres + point lights
     brazier = builder.add_model([MeshInfo(rock, brazier_m)])
     for (bx, bz) in ((-10, 0), (10, 0), (0, -5), (0, 5)):
         builder.add_model_instance(
-            brazier, builder.add_scene_node(root, _tr(bx, -1.2, bz, s=0.25)))
+            brazier, builder.add_scene_node(root, _tr(bx, 1.2, bz, s=0.25)))
         builder.add_point_light(PointLight(
-            color=(14.0, 6.0, 2.2), position=(bx, -1.6, bz),
+            color=(14.0, 6.0, 2.2), position=(bx, 1.6, bz),
             attenuation_constant=0.0, attenuation_quadratic=1.0))
 
     # pool: transmissive water slab
     def pf(u, v):
-        return np.stack([(u - 0.5) * 6, -0.12 + 0.02 * np.sin(u * 20)
+        return np.stack([(u - 0.5) * 6, 0.12 - 0.02 * np.sin(u * 20)
                          * np.cos(v * 18), (v - 0.5) * 3.2], -1)
     pool = _add_mesh(builder, *_grid_mesh(max(2, int(30 * d)),
                                           max(2, int(30 * d)), pf))
@@ -341,9 +344,9 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
                                 rings=3)
     rail = _add_mesh(builder, tp, tn, tuv, tt)
     for i, mat in enumerate(metal_ms + trim_ms):
-        y = -(2.0 + 1.2 * i)
-        m = np.asarray([[0, 0, 1, 14.6 - 29.2 * (i % 2)], [1, 0, 0, y],
-                        [0, 1, 0, -8.75], [0, 0, 0, 1]], np.float64)
+        y = 2.0 + 1.2 * i
+        m = np.asarray([[0, 0, 1, 14.6 - 29.2 * (i % 2)], [-1, 0, 0, y],
+                        [0, -1, 0, -8.75], [0, 0, 0, 1]], np.float64)
         builder.add_model_instance(
             builder.add_model([MeshInfo(rail, mat)]),
             builder.add_scene_node(root, m))
@@ -351,14 +354,14 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
     # --- sky + sun ----------------------------------------------------------
     h, w = 24, 48
     v = np.linspace(0.0, 1.0, h)[:, None]
-    sky = np.stack([1.2 - 0.5 * v, 1.3 - 0.4 * v, 1.6 - 0.2 * v],
+    sky = np.stack([0.7 + 0.5 * v, 0.9 + 0.4 * v, 1.4 + 0.2 * v],
                    -1).astype(np.float32)
     builder.set_skybox(Skybox(kind=SkyboxKind.EQUIRECT,
                               image=np.broadcast_to(sky, (h, w, 3)).copy()))
     builder.set_directional_light(DirectionalLight(
-        color=(5.0, 4.6, 4.0), direction=(0.35, 0.82, 0.45)))
-    builder.add_camera(InputCamera(55.0, 200.0, 0.1, (-12.0, -2.2, 0.0),
-                                   (1.0, -0.08, 0.12)))
+        color=(5.0, 4.6, 4.0), direction=(0.35, -0.82, 0.45)))
+    builder.add_camera(InputCamera(55.0, 200.0, 0.1, (-12.0, 2.2, 0.0),
+                                   (1.0, 0.08, 0.12)))
 
 
 def make_courtyard_scene(detail: float = 1.0) -> Scene:

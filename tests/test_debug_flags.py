@@ -31,8 +31,8 @@ class TestFlags:
     def test_shadows_flag_changes_color_mode(self):
         # the Cornell default scene has no NEE-sampleable light (area light
         # only), so build a deterministic shadow caster: floor + cube under
-        # a near-vertical sun (world up is -y); floor below the cube must
-        # darken when shadows are on
+        # a near-vertical sun; the floor below the cube must darken when
+        # shadows are on
         from pt.core.camera import InputCamera
         from pt.render.textures import default_texture_pool
         from pt.scene.builder import SceneBuilder
@@ -43,20 +43,20 @@ class TestFlags:
         m = b.add_material("w", MetallicRoughnessMaterial(
             color=(0.8, 0.8, 0.8, 1.0), roughness=1.0))
         floor = _add_quad_list(b, [
-            ((-10, 0, -10), (0, 0), (0, -1, 0), (1, 0, 0), (0, 0, 1)),
-            ((10, 0, -10), (1, 0), (0, -1, 0), (1, 0, 0), (0, 0, 1)),
-            ((10, 0, 10), (1, 1), (0, -1, 0), (1, 0, 0), (0, 0, 1)),
-            ((-10, 0, 10), (0, 1), (0, -1, 0), (1, 0, 0), (0, 0, 1))])
+            ((-10, 0, -10), (0, 0), (0, 1, 0), (1, 0, 0), (0, 0, 1)),
+            ((10, 0, -10), (1, 0), (0, 1, 0), (1, 0, 0), (0, 0, 1)),
+            ((10, 0, 10), (1, 1), (0, 1, 0), (1, 0, 0), (0, 0, 1)),
+            ((-10, 0, 10), (0, 1), (0, 1, 0), (1, 0, 0), (0, 0, 1))])
         cube = b.add_model([MeshInfo(g, m) for g in add_cube(b)])
         b.add_model_instance(b.add_model([MeshInfo(floor, m)]),
                              b.add_scene_node(0, np.eye(4)))
         up = np.eye(4)
-        up[1, 3] = -3.0  # 3 units above the floor
+        up[1, 3] = 3.0  # 3 units above the floor
         b.add_model_instance(cube, b.add_scene_node(0, up))
         b.set_directional_light(DirectionalLight(color=(3.0, 3.0, 3.0),
-                                                 direction=(0.15, 1.0, 0.1)))
-        b.add_camera(InputCamera(45.0, 100.0, 0.1, (0.0, -5.0, -10.0),
-                                 (0.0, 0.4, 1.0)))
+                                                 direction=(0.15, -1.0, 0.1)))
+        b.add_camera(InputCamera(45.0, 100.0, 0.1, (0.0, 5.0, -10.0),
+                                 (0.0, -0.4, 1.0)))
         scene = b.create_scene()
         ds = flatten_scene(scene)
         tex = default_texture_pool()
@@ -125,16 +125,16 @@ class TestMipHeatmap:
         m = b.add_material("m", MetallicRoughnessMaterial(color_idx=ti))
         # one huge floor quad receding from the camera
         geo = _add_quad_list(b, [
-            ((-50, 0, 0), (0, 0), (0, -1, 0), (1, 0, 0), (0, 0, 1)),
-            ((50, 0, 0), (50, 0), (0, -1, 0), (1, 0, 0), (0, 0, 1)),
-            ((50, 0, 200), (50, 100), (0, -1, 0), (1, 0, 0), (0, 0, 1)),
-            ((-50, 0, 200), (0, 100), (0, -1, 0), (1, 0, 0), (0, 0, 1))])
+            ((-50, 0, 0), (0, 0), (0, 1, 0), (1, 0, 0), (0, 0, 1)),
+            ((50, 0, 0), (50, 0), (0, 1, 0), (1, 0, 0), (0, 0, 1)),
+            ((50, 0, 200), (50, 100), (0, 1, 0), (1, 0, 0), (0, 0, 1)),
+            ((-50, 0, 200), (0, 100), (0, 1, 0), (1, 0, 0), (0, 0, 1))])
         model = b.add_model([MeshInfo(geo, m)])
         b.add_model_instance(model, b.add_scene_node(0, np.eye(4)))
         b.set_directional_light(DirectionalLight(color=(1, 1, 1),
-                                                 direction=(0, 1, 0)))
-        b.add_camera(InputCamera(60.0, 500.0, 0.1, (0.0, -1.0, 1.0),
-                                 (0.0, 0.12, 1.0)))
+                                                 direction=(0, -1, 0)))
+        b.add_camera(InputCamera(60.0, 500.0, 0.1, (0.0, 1.0, 1.0),
+                                 (0.0, -0.12, 1.0)))
         scene = b.create_scene()
         from pt.scene.textures import build_scene_textures
         ds = flatten_scene(scene)
@@ -144,7 +144,6 @@ class TestMipHeatmap:
         img = np.asarray(render_debug_image(
             ds, tex, cam.inv_view.astype("float32"),
             cam.inv_proj.astype("float32"), 64, 64, DebugRenderMode.MIPS))
-        # world up is -y: near floor at image TOP, horizon at bottom.
         # find hit rows (non-background) and compare near vs far red level
         bg = np.asarray([0.1, 0.1, 0.12])
         hitmask = (np.abs(img - bg).sum(-1) > 1e-3)
