@@ -3,5 +3,6 @@ tone mapping, sRGB/HDR10 encode. Counterpart of the reference's compute
 shaders postprocess/bloomDownsample/bloomUpsample/composition/toneMapping/
 uiComposition (.comp)."""
 
-from pt.post.pipeline import (PostProcessSettings, resolve_accumulation,
-                              bloom_pyramid, tonemap_sdr, postprocess)
+from pt.post.pipeline import (PostProcessSettings, compose_ui,
+                              resolve_accumulation, bloom_pyramid,
+                              tonemap_sdr, postprocess)

@@ -140,6 +140,26 @@ def tonemap_sdr(color):
     return 1.0 - jnp.exp(-color)
 
 
+def _srgb_to_linear(color):
+    """Piecewise sRGB EOTF (≙ uiComposition.comp:41-48)."""
+    low = color / 12.92
+    high = ((color + 0.055) / 1.055) ** 2.4
+    return jnp.where(color >= 0.0404482362771082, high, low)
+
+
+def compose_ui(screen_color, ui_rgba):
+    """Blend a UI overlay over the screen image
+    (≙ uiComposition.comp:55-60: where ui.a > 0 the pixel becomes
+    srgb_to_linear(ui.rgb) * 0.99 + screen.rgb * 0.01; PQ encode, when
+    HDR, happens after this blend). `ui_rgba` is (H, W, 4) sRGB-encoded,
+    float in [0,1] or uint8."""
+    ui_rgba = jnp.asarray(ui_rgba)
+    if ui_rgba.dtype == jnp.uint8:
+        ui_rgba = ui_rgba.astype(jnp.float32) / 255.0
+    blended = _srgb_to_linear(ui_rgba[..., :3]) * 0.99 + screen_color * 0.01
+    return jnp.where(ui_rgba[..., 3:4] > 0.0, blended, screen_color)
+
+
 def linear_to_hdr10(color, white_point: float = 203.0):
     """BT.2020 + ST.2084 PQ encode (≙ uiComposition.comp:14-43)."""
     m709to2020 = jnp.asarray([
@@ -159,13 +179,20 @@ def linear_to_hdr10(color, white_point: float = 203.0):
 
 @functools.partial(jax.jit, static_argnames=("settings", "hdr"))
 def postprocess(accum, total_samples, settings: PostProcessSettings,
-                hdr: bool = False):
+                hdr: bool = False, ui=None):
     """Full post chain on an (H, W, 3) accumulation image → display-ready
-    float image in [0,1] (SDR) or PQ-encoded (HDR)."""
+    float image in [0,1] (SDR) or PQ-encoded (HDR). `ui`, when given, is
+    an (H, W, 4) sRGB RGBA overlay composed after tone mapping and before
+    the PQ encode, matching the reference's dispatch order (toneMapping →
+    uiComposition, Renderer.cpp:1766-1776)."""
     color = resolve_accumulation(accum, total_samples, settings.exposure)
     if settings.enable_bloom:
         bloom = bloom_pyramid(color, settings.bloom_threshold)
         color = color + settings.bloom_intensity * 0.1 * bloom
+    if not hdr:
+        color = tonemap_sdr(color)           # HDR mode passes through
+    if ui is not None:
+        color = compose_ui(color, ui)
     if hdr:
-        return linear_to_hdr10(color)
-    return tonemap_sdr(color)
+        color = linear_to_hdr10(color)
+    return color

@@ -59,8 +59,11 @@ def _downsample2x(img: np.ndarray) -> np.ndarray:
     Image.cpp:258-315 uses linear blits ≈ box filter)."""
     h, w = img.shape[:2]
     nh, nw = max(1, h // 2), max(1, w // 2)
-    img = img[:nh * 2, :nw * 2]
-    return img.reshape(nh, 2, nw, 2, img.shape[-1]).mean(axis=(1, 3))
+    # a dimension already at 1 stays 1 (non-square chains end in Nx1/1xN
+    # levels, like the blit chain's max(1, dim>>level))
+    img = img[:nh * 2 if h > 1 else 1, :nw * 2 if w > 1 else 1]
+    img = img.reshape(nh, -1, nw, img.shape[1] // nw, img.shape[-1])
+    return img.mean(axis=(1, 3))
 
 
 def build_mip_chain(pixels: np.ndarray) -> List[np.ndarray]:

@@ -43,7 +43,7 @@ _PAGE = """<!doctype html>
 </style></head><body>
 <img id="v" src="/stream" tabindex="0" draggable="false">
 <div id="hud">WASD move &middot; Q/E down/up &middot; hold RMB / click to
-look &middot; P pause animation</div>
+look &middot; P pause animation &middot; Space show/hide HUD</div>
 <script>
 const v = document.getElementById('v');
 let queue = [];
@@ -56,13 +56,16 @@ setInterval(() => {
   fetch('/input', {method: 'POST', body: JSON.stringify({events})});
 }, 33);
 const keys = 'wasdqep';
+const name = k => k === ' ' ? 'space' : k;
 window.addEventListener('keydown', e => {
   const k = e.key.toLowerCase();
-  if (keys.includes(k) && !e.repeat) post({type:'key', key:k, pressed:true});
+  if ((keys.includes(k) || k === ' ') && !e.repeat)
+    post({type:'key', key:name(k), pressed:true});
 });
 window.addEventListener('keyup', e => {
   const k = e.key.toLowerCase();
-  if (keys.includes(k)) post({type:'key', key:k, pressed:false});
+  if (keys.includes(k) || k === ' ')
+    post({type:'key', key:name(k), pressed:false});
 });
 v.addEventListener('mousedown', e => {
   if (e.button === 2) post({type:'button', button:1, pressed:true});
@@ -209,23 +212,56 @@ class ViewerServer:
             return self._jpeg, self._seq
 
 
+def _build_hud(width: int, height: int) -> np.ndarray:
+    """Engine-logo overlay as an (H, W, 4) RGBA array — the headless
+    analogue of the UI image the reference composites over the film
+    (uiComposition.comp; logo art from the embedded pt.resources,
+    ≙ Resources::g_VulkanPathTracingTextureData)."""
+    from PIL import Image
+
+    from pt import resources
+
+    hud = Image.new("RGBA", (width, height), (0, 0, 0, 0))
+    logo = Image.open(io.BytesIO(resources.texture_bytes("logo")))
+    lw = max(32, width // 5)
+    lh = max(1, logo.height * lw // logo.width)
+    if lw + 6 < width and lh + 6 < height:
+        hud.alpha_composite(logo.resize((lw, lh)), (6, 6))
+    return np.asarray(hud, np.uint8)
+
+
 def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
-               duration_seconds: float = 1e30) -> int:
+               duration_seconds: float = 1e30, show_hud: bool = True) -> int:
     """Drive Application.run with frames streaming to the browser and
     browser input driving the fly camera. Blocks until interrupted."""
 
+    hud_state = {"visible": show_hud}
+
     def on_key_release(key: str) -> None:
-        # ≙ UserInterface::OnKeyRelease: P toggles animation pause
+        # ≙ UserInterface::OnKeyRelease (UserInterface.cpp:202-220):
+        # P toggles animation pause, Space shows/hides the UI overlay
         if key == "p" and app.renderer.scene is not None:
             app.renderer.scene.animation_paused = \
                 not app.renderer.scene.animation_paused
+        elif key == "space":
+            hud_state["visible"] = not hud_state["visible"]
 
     server = ViewerServer(host, port, on_key_release)
     server.start()
     print(f"viewer at http://{server.host}:{server.port}/  (Ctrl-C stops)",
           flush=True)
 
+    hud_cache: dict = {}
+
     def on_frame(snapshot: np.ndarray, total_samples: int) -> None:
+        if show_hud and hud_state["visible"]:
+            from pt.post import compose_ui
+            h, w = snapshot.shape[:2]
+            hud = hud_cache.get((w, h))
+            if hud is None:
+                hud = hud_cache[(w, h)] = _build_hud(w, h)
+            if hud[..., 3].any():
+                snapshot = np.asarray(compose_ui(snapshot, hud))
         server.publish(snapshot, {
             "total_samples": total_samples,
             "rays_traced": app.renderer.rays_traced,

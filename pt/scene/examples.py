@@ -20,8 +20,8 @@ import numpy as np
 from pt.core.camera import InputCamera
 from pt.scene.builder import SceneBuilder, Scene
 from pt.scene.types import (DirectionalLight, Geometry, MeshInfo,
-                            MetallicRoughnessMaterial, PLACEHOLDER_TEXTURE,
-                            PointLight)
+                            MetallicRoughnessMaterial, PointLight,
+                            TextureInfo, TextureType)
 
 
 def _translate(x, y, z):
@@ -109,9 +109,23 @@ def create_default_scene(builder: SceneBuilder) -> None:
         color=(0, 1, 0, 1), **default))
     red = builder.add_material("Red Material", MetallicRoughnessMaterial(
         color=(1, 0, 0, 1), **default))
-    # textured slots use the placeholder until texture import lands
+    # the four embedded textures, wired exactly as the reference does
+    # (ExampleScenes.cpp:338-383: logo wall reuses the placeholder art,
+    # glass cube shows authors, mirror cube the engine banner, floor the
+    # press-space texture)
+    from pt import resources
+
+    def _embedded(asset: str, name: str) -> int:
+        return builder.add_texture(TextureInfo(
+            name=name, type=TextureType.COLOR,
+            data=resources.texture_bytes(asset), is_srgb=True))
+
+    logo_tex = _embedded("placeholder", "Logo Color Texture")
+    banner_tex = _embedded("logo", "TPU Path-Tracing Texture")
+    authors_tex = _embedded("authors", "Authors Texture")
+    space_tex = _embedded("press_space", "Press Space Texture")
     logo = builder.add_material("Logo Material", MetallicRoughnessMaterial(
-        color_idx=PLACEHOLDER_TEXTURE, **default))
+        color_idx=logo_tex, **default))
     light_mat = builder.add_material("Light Material", MetallicRoughnessMaterial(
         emissive_color=(1, 1, 1), emissive_intensity=1.0, **default))
     glass = builder.add_material("Glass Material", MetallicRoughnessMaterial(
@@ -120,16 +134,16 @@ def create_default_scene(builder: SceneBuilder) -> None:
         attenuation_color=(1, 1, 1), attenuation_distance=1e32))
     glass_tex = builder.add_material("Glass Textured Material", MetallicRoughnessMaterial(
         color=(0.70, 0.81, 0.85, 1.0), roughness=0.0, metalness=0.0,
-        ior=1.5, transmission=1.0, color_idx=PLACEHOLDER_TEXTURE,
+        ior=1.5, transmission=1.0, color_idx=authors_tex,
         attenuation_color=(1, 1, 1), attenuation_distance=1e32))
     mirror = builder.add_material("Mirror Material", MetallicRoughnessMaterial(
         roughness=0.0, metalness=1.0, ior=1.5,
         attenuation_color=(1, 1, 1), attenuation_distance=1e32))
     mirror_tex = builder.add_material("Mirror Textured Material", MetallicRoughnessMaterial(
-        roughness=0.0, metalness=1.0, ior=1.5, color_idx=PLACEHOLDER_TEXTURE,
+        roughness=0.0, metalness=1.0, ior=1.5, color_idx=banner_tex,
         attenuation_color=(1, 1, 1), attenuation_distance=1e32))
     floor = builder.add_material("Floor Material", MetallicRoughnessMaterial(
-        color_idx=PLACEHOLDER_TEXTURE, **default))
+        color_idx=space_tex, **default))
 
     # 5 box walls (ExampleScenes.cpp vertex table, ±1.1 x/y, z ±1)
     walls = [

@@ -119,6 +119,12 @@ def test_app_boot_and_progressive_loop():
     app.renderer.set_settings(PathTracingSettings(
         sample_count=1, bounce_count=2, backend="brute"))
     app.init(width=24, height=24)
+    # the boot scene streams its embedded textures; wait for the loader so
+    # the accumulation-resetting swap lands before frame 1, keeping the
+    # progressive counter deterministic
+    t = getattr(app.renderer, "_tex_thread", None)
+    if t is not None:
+        t.join()
     snapshots = []
     app.run(target_frames=2,
             on_frame=lambda img, total: snapshots.append((img.copy(), total)))
@@ -169,7 +175,7 @@ def test_checkpoint_resume(tmp_path):
 
     st = PathTracingSettings(sample_count=1, bounce_count=3, backend="brute")
     r = Renderer(st)
-    r.set_scene(make_default_scene())
+    r.set_scene(make_default_scene(), stream_textures=False)
     r.on_resize(24, 24)
     r.render(2)
     path = str(tmp_path / "ckpt.npz")
@@ -178,7 +184,7 @@ def test_checkpoint_resume(tmp_path):
     full = np.asarray(r.accum)
 
     r2 = Renderer(st)
-    r2.set_scene(make_default_scene())
+    r2.set_scene(make_default_scene(), stream_textures=False)
     r2.load_checkpoint(path)
     assert r2.total_samples == 2
     r2.render(2)
@@ -274,3 +280,58 @@ def test_cli_render_and_debug_smoke(tmp_path):
     assert main(["debug", "--scene", "Test Scenes/Default", "--mode",
                  "normal", "--out", dbg, "--size", "16x16"]) == 0
     assert os.path.exists(dbg)
+
+
+def test_video_without_ffmpeg_writes_mjpeg_avi(tmp_path, monkeypatch):
+    """mp4 requested with no ffmpeg → a real, well-formed MJPEG AVI video
+    (pt/out/avi.py), not an image-sequence downgrade."""
+    import struct
+
+    from PIL import Image
+    from pt.out import saver as S
+
+    monkeypatch.setattr(S, "ffmpeg_available", lambda: False)
+    out = S.OutputSaver()
+    out.register_output(OutputInfo(str(tmp_path / "clip.mp4"),
+                                   32, 16, framerate=24.0, format="mp4"))
+    gx = np.broadcast_to(np.linspace(0, 1, 32, np.float32)[None, :],
+                         (16, 32))
+    gy = np.broadcast_to(np.linspace(0, 1, 16, np.float32)[:, None],
+                         (16, 32))
+    frames = [np.stack([np.full_like(gx, k / 3.0), gx, gy], axis=-1)
+              for k in range(3)]
+    for fr in frames:
+        out.submit_frame(fr)
+    out.end_output()
+
+    path = tmp_path / "clip.avi"
+    data = path.read_bytes()
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    assert riff_size == len(data) - 8            # patched size is exact
+    avih = data.index(b"avih")
+    total_frames = struct.unpack("<I", data[avih + 24:avih + 28])[0]
+    assert total_frames == 3
+    assert b"MJPG" in data and b"idx1" in data
+
+    # decode the first frame chunk and compare to the submitted frame
+    p = data.index(b"00dc")
+    size = struct.unpack("<I", data[p + 4:p + 8])[0]
+    jpeg = data[p + 8:p + 8 + size]
+    img = np.asarray(Image.open(__import__("io").BytesIO(jpeg)))
+    assert img.shape == (16, 32, 3)
+    want = (np.clip(frames[0], 0, 1) * 255 + 0.5).astype(np.uint8)
+    assert np.abs(img.astype(np.int32) - want.astype(np.int32)).mean() < 8
+
+
+def test_video_cancel_deletes_partial_avi(tmp_path, monkeypatch):
+    from pt.out import saver as S
+
+    monkeypatch.setattr(S, "ffmpeg_available", lambda: False)
+    out = S.OutputSaver()
+    out.register_output(OutputInfo(str(tmp_path / "clip.mp4"),
+                                   8, 8, format="mp4"))
+    out.submit_frame(np.zeros((8, 8, 3), np.float32))
+    out.cancel_output()
+    assert not (tmp_path / "clip.avi").exists()
+    assert not (tmp_path / "clip.mp4").exists()

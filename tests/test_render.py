@@ -16,7 +16,8 @@ from pt.scene.flatten import flatten_scene
 def default_setup():
     scene = make_default_scene()
     ds = flatten_scene(scene)
-    tex = default_texture_pool()
+    from pt.scene.textures import build_scene_textures
+    tex = build_scene_textures(scene)   # Default now carries embedded art
     cam = scene.cameras[0]
     cam.on_resize(32, 32)
     return scene, ds, tex, cam
@@ -133,12 +134,12 @@ def test_production_renderer_sharded(default_setup):
     st = PathTracingSettings(sample_count=1, bounce_count=3, backend="brute")
     mesh = film_mesh()
     r = Renderer(st, mesh=mesh)
-    r.set_scene(scene)
+    r.set_scene(scene, stream_textures=False)
     r.on_resize(32, 32)
     r.render(4)
     img = np.asarray(r.accum) / 4
     r2 = Renderer(st)
-    r2.set_scene(scene)
+    r2.set_scene(scene, stream_textures=False)
     r2.on_resize(32, 32)
     r2.render(4)
     ref = np.asarray(r2.accum) / 4
@@ -156,7 +157,7 @@ def test_compaction_bit_identical(default_setup):
     st = PathTracingSettings(sample_count=1, bounce_count=5, backend="brute")
 
     r = R.Renderer(st)
-    r.set_scene(scene)
+    r.set_scene(scene, stream_textures=False)
     r.on_resize(48, 48)                # 2304 lanes → compacts to 1024
     r.render(2)                        # first call observes counts
     r.render(2)                        # second call compacts by plan
@@ -169,7 +170,7 @@ def test_compaction_bit_identical(default_setup):
     R._size_class = lambda n, minimum=1024: 1 << 30
     try:
         r2 = R.Renderer(st)
-        r2.set_scene(scene)
+        r2.set_scene(scene, stream_textures=False)
         r2.on_resize(48, 48)
         r2.render(2)
         r2.render(2)

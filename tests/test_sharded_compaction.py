@@ -22,7 +22,7 @@ def mesh():
 def _run(mesh, steps, compact):
     r = Renderer(PathTracingSettings(sample_count=1, bounce_count=4,
                                      backend="brute"), mesh=mesh)
-    r.set_scene(make_default_scene())
+    r.set_scene(make_default_scene(), stream_textures=False)
     r.on_resize(64, 64)
     for _ in range(steps):
         if not compact:
@@ -50,7 +50,7 @@ def test_sharded_band_tiling_covers_film(mesh):
     band-local tile swizzle (the film_perm scatter is a permutation)."""
     r = Renderer(PathTracingSettings(sample_count=1, bounce_count=1,
                                      backend="brute"), mesh=mesh)
-    r.set_scene(make_default_scene())
+    r.set_scene(make_default_scene(), stream_textures=False)
     r.on_resize(32, 32)
     perm = np.asarray(r._film_perm_sharded)
     n_local = (32 * 32) // 8

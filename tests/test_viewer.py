@@ -67,6 +67,18 @@ class TestInputCameraPolling:
         Input.set_key("p", False)
         assert seen == ["p"]
 
+    def test_space_release_reaches_callback(self):
+        # ≙ UserInterface::OnKeyRelease Key::Space (HUD show/hide)
+        seen = []
+        Input.set_key_release_callback(seen.append)
+        Input.set_key("space", True)
+        Input.set_key("space", False)
+        assert seen == ["space"]
+
+    def test_page_advertises_space_binding(self):
+        from pt.run.viewer import _PAGE
+        assert "space" in _PAGE.lower()
+
 
 class TestScene_UpdateSplit:
     def test_camera_only_change(self):
