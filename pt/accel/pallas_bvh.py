@@ -1078,22 +1078,54 @@ def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np,
     e2 = xp.asarray(e2, f64)
     v0 = xp.asarray(v0, f64)
     n = xp.cross(e1, e2)
-    m = xp.stack([e1, e2, n], axis=-1)                   # columns e1,e2,n
-    det = xp.linalg.det(m)
+    # closed-form inverse of M = [e1 e2 n] (columns): det = n·(e1×e2) =
+    # |n|²; rows of M⁻¹ are (e2×n)/det, (n×e1)/det, n/det. Vectorized
+    # cross products beat batched LAPACK inv ~10x on host at Sponza scale
+    # (and need no det()/stack() passes).
+    det = xp.sum(n * n, axis=-1)
     ok = xp.abs(det) > 1e-30
-    eye = xp.eye(3, dtype=f64)[None]
-    m_safe = xp.where(ok[:, None, None], m, eye)
-    w = xp.where(ok[:, None, None], xp.linalg.inv(m_safe), 0.0)
+    inv_det = xp.where(ok, 1.0 / xp.where(ok, det, 1.0), 0.0)[:, None]
+    w = xp.stack([xp.cross(e2, n) * inv_det,
+                  xp.cross(n, e1) * inv_det,
+                  n * inv_det], axis=1)                  # (T, 3, 3) rows
     b = -xp.einsum("tij,tj->ti", w, v0)
     # degenerate/padding triangles: W = 0 and b'z = 1e30 so the kernel's
     # unguarded t = -o'z/d'z gives -inf (rejected by t > tmin) instead of
     # the NaN that 0/0 would produce
     b = xp.where(ok[:, None], b,
                  xp.asarray([0.0, 0.0, 1e30], f64)[None])
+    w = xp.where(ok[:, None, None], w, 0.0)   # guard inf*0 on weird input
     w = w.astype(xp.float32)                             # (T, 3, 3)
     b = b.astype(xp.float32)                             # (T, 3)
 
     t_pad = v0.shape[0]
+    ids32 = tri_ids.astype(np.int32 if xp is np else jnp.int32)
+    if tri_alpha is not None:
+        mark = (ids32 >= 0) & xp.asarray(tri_alpha, bool)
+        ids32 = xp.where(mark, ids32 | ALPHA_TRI_BIT, ids32)
+
+    if xp is np:
+        # host fast path: write each (row, group) stripe straight into the
+        # preallocated page tensor — the generic stack→transpose→reshape
+        # chain below does three full copies with gather strides, which
+        # dominated big static builds (benches/instancing_budget.py)
+        id_bits = np.ascontiguousarray(ids32).view(np.float32)
+        pages = np.zeros((n_leaves, 8, _page_cols(block)), np.float32)
+        wl = w.reshape(n_leaves, block, 3, 3)
+        bl = b.reshape(n_leaves, block, 3)
+        for k in range(3):       # o'_k operand: rows [Wk(3), bk, 0...]
+            col = slice(k * block, (k + 1) * block)
+            for j in range(3):
+                pages[:, j, col] = wl[:, :, k, j]
+            pages[:, 3, col] = bl[:, :, k]
+        for k in range(3):       # d'_k operand: rows [0,0,0,0, Wk(3), 0]
+            col = slice((3 + k) * block, (4 + k) * block)
+            for j in range(3):
+                pages[:, 4 + j, col] = wl[:, :, k, j]
+        pages[:, 0, 6 * block:7 * block] = \
+            id_bits.reshape(n_leaves, block)
+        return pages
+
     zeros1 = xp.zeros((t_pad, 1), xp.float32)
     zeros4 = xp.zeros((t_pad, 4), xp.float32)
     groups = []
@@ -1102,21 +1134,13 @@ def _woop_pages(v0, e1, e2, tri_ids, n_leaves, block, xp=np,
                                      axis=-1))
     for k in range(3):       # d'_k operand: [0,0,0,0, Wk(3), 0]
         groups.append(xp.concatenate([zeros4, w[:, k, :], zeros1], axis=-1))
-    ids32 = tri_ids.astype(np.int32 if xp is np else jnp.int32)
-    if tri_alpha is not None:
-        mark = (ids32 >= 0) & xp.asarray(tri_alpha, bool)
-        ids32 = xp.where(mark, ids32 | ALPHA_TRI_BIT, ids32)
-    if xp is np:
-        id_bits = np.ascontiguousarray(ids32).view(np.float32)
-    else:
-        id_bits = jax.lax.bitcast_convert_type(ids32, jnp.float32)
+    id_bits = jax.lax.bitcast_convert_type(ids32, jnp.float32)
     groups.append(xp.concatenate([id_bits[:, None],
                                   xp.zeros((t_pad, 7), xp.float32)],
                                  axis=-1))
     page_cols = xp.stack(groups, axis=1)                 # (T, 7, 8)
     pages = page_cols.reshape(n_leaves, block, _PAGE_GROUPS, 8)
-    pages = pages.transpose(0, 3, 2, 1) if xp is np else \
-        jnp.transpose(pages, (0, 3, 2, 1))
+    pages = jnp.transpose(pages, (0, 3, 2, 1))
     pages = pages.reshape(n_leaves, 8, _PAGE_GROUPS * block)
     # pad the last dim to a 128 multiple: Mosaic requires lane-aligned
     # shapes for the per-leaf HBM DMA slice (pages_ref.at[leaf])
@@ -1224,6 +1248,17 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     tri_hi = np.maximum(np.maximum(v0, v1), v2)
     centroids = (v0 + v1 + v2) / 3.0
 
+    # any block < T/max_leaves is mathematically guaranteed to blow the
+    # node budget (leaves >= ceil(T/block) > max_leaves → nodes >
+    # max_nodes), so start the doubling loop at the first feasible size —
+    # skipping up to ~log2(T/max_leaves) full builds on large scenes with
+    # identical output (benches/instancing_budget.py measured the old
+    # loop at ~N^1.5 wall time from exactly these wasted rebuilds)
+    max_leaf_budget = max_leaves or MAX_TOP_LEAVES
+    min_feasible = -(-len(tri_idx_np) // max_leaf_budget)
+    while block < min_feasible:
+        block *= 2
+
     result = None
     while block <= 1024:
         if spatial:
@@ -1255,16 +1290,24 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     se2 = np.zeros((t_pad, 3), np.float32)
     ids = np.full(t_pad, -1, np.int32)
     alpha = np.zeros(t_pad, bool)
-    for li, node in enumerate(leaf_nodes):
-        s, c = leaf_start[node], leaf_count[node]
-        tris = order[s:s + c]
-        base = li * block
-        sv0[base:base + c] = v0[tris]
-        se1[base:base + c] = (v1 - v0)[tris]
-        se2[base:base + c] = (v2 - v0)[tris]
-        ids[base:base + c] = tris
+    # vectorized leaf packing (the per-leaf python loop recomputed the
+    # full (T,3) edge arrays once PER LEAF — O(leaves*T) wall time that
+    # dominated big-scene builds; benches/instancing_budget.py)
+    counts = leaf_count[leaf_nodes].astype(np.int64)
+    starts = leaf_start[leaf_nodes].astype(np.int64)
+    total = int(counts.sum())
+    if total:
+        leaf_of_ref = np.repeat(np.arange(n_leaves, dtype=np.int64), counts)
+        within = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(counts) - counts, counts))
+        slot = leaf_of_ref * block + within
+        tris = order[np.repeat(starts, counts) + within]
+        sv0[slot] = v0[tris]
+        se1[slot] = v1[tris] - v0[tris]
+        se2[slot] = v2[tris] - v0[tris]
+        ids[slot] = tris
         if tri_opaque_np is not None:
-            alpha[base:base + c] = ~np.asarray(tri_opaque_np, bool)[tris]
+            alpha[slot] = ~np.asarray(tri_opaque_np, bool)[tris]
 
     pages = _woop_pages(sv0, se1, se2, ids, n_leaves, block,
                         tri_alpha=alpha if tri_opaque_np is not None
