@@ -11,7 +11,8 @@ joins + flushes, CancelOutput kills ffmpeg and deletes the partial file
 Here the GPU blit/readback chain is a `jax.device_get` on the writer
 thread; still images go through PIL (stbi analogue) and HDR through a
 native Radiance RGBE writer. ffmpeg is optional — absence downgrades video
-to a per-frame PNG sequence next to the target path.
+to a native MJPEG AVI next to the target path (pt/out/avi.py), so video
+output stays real video without an external encoder.
 """
 
 from __future__ import annotations
@@ -87,6 +88,7 @@ class OutputSaver:
         self._queue: "queue.Queue" = queue.Queue(maxsize=4)
         self._thread: Optional[threading.Thread] = None
         self._ffmpeg: Optional[subprocess.Popen] = None
+        self._avi = None
         self._info: Optional[OutputInfo] = None
         self._frame_index = 0
         self._error: Optional[Exception] = None
@@ -113,7 +115,12 @@ class OutputSaver:
                     stdin=subprocess.PIPE,
                     stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
             else:
-                Stats.add_stat("Output", "ffmpeg unavailable → PNG sequence")
+                from pt.out.avi import MjpegAviWriter
+                avi_path = str(pathlib.Path(info.path).with_suffix(".avi"))
+                self._avi = MjpegAviWriter(avi_path, info.width, info.height,
+                                           info.framerate)
+                Stats.add_stat("Output",
+                               "ffmpeg unavailable → native MJPEG AVI")
         self._thread = threading.Thread(target=self._writer, daemon=True)
         self._thread.start()
 
@@ -138,6 +145,9 @@ class OutputSaver:
             self._ffmpeg.stdin.close()
             self._ffmpeg.wait()
             self._ffmpeg = None
+        if self._avi:
+            self._avi.close()
+            self._avi = None
         self._info = None
         self._thread = None
         if self._error:
@@ -156,11 +166,18 @@ class OutputSaver:
             self._ffmpeg.kill()
             self._ffmpeg.wait()
             self._ffmpeg = None
+        avi_path = None
+        if self._avi:
+            avi_path = self._avi.path
+            self._avi.close()
+            self._avi = None
         self._info = None
         self._thread = None
         try:
             if info and os.path.exists(info.path):
                 os.remove(info.path)
+            if avi_path and os.path.exists(avi_path):
+                os.remove(avi_path)         # partial video is deleted too
         except OSError:
             pass
 
@@ -198,8 +215,6 @@ class OutputSaver:
                 [u8, np.full_like(u8[..., :1], 255)], axis=-1)
             self._ffmpeg.stdin.write(rgba.tobytes())
         else:
-            # ffmpeg missing: PNG sequence fallback
-            base = pathlib.Path(info.path).with_suffix(".png")
-            path = base.with_name(
-                f"{base.stem}_{self._frame_index:05d}.png")
-            write_image(str(path), frame, "png")
+            # ffmpeg missing: native MJPEG AVI fallback
+            u8 = (np.clip(frame, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            self._avi.write_frame(u8)
