@@ -34,6 +34,19 @@ def film_mesh(devices: Optional[list] = None, axis: str = "film") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def film_spp_mesh(film: int, spp: int, devices: Optional[list] = None,
+                  axes=("film", "spp")) -> Mesh:
+    """2-D mesh: `film` row-groups × `spp` decorrelated sample groups —
+    the pod-slice layout when neither axis alone covers the slice (e.g.
+    a 4×2 v5e tray rendering a tall film at high spp). Uses film*spp
+    devices."""
+    devices = devices if devices is not None else jax.devices()
+    if film * spp > len(devices):
+        raise ValueError(f"need {film * spp} devices, have {len(devices)}")
+    grid = np.asarray(devices[:film * spp]).reshape(film, spp)
+    return Mesh(grid, axes)
+
+
 def render_image_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
                          inv_proj, width: int, height: int, frame,
                          settings: PathTracingSettings, mesh: Mesh):
@@ -105,4 +118,47 @@ def render_spp_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
     return shard_render(ds, tex,
                         jnp.asarray(inv_view, jnp.float32),
                         jnp.asarray(inv_proj, jnp.float32),
+                        jnp.asarray(frame, jnp.uint32))
+
+
+def render_image_spp_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
+                             inv_proj, width: int, height: int, frame,
+                             settings: PathTracingSettings, mesh: Mesh):
+    """Combined mode over a 2-D (film, spp) mesh: film rows shard over the
+    first axis while each spp-group renders its shard with a decorrelated
+    frame seed (same golden-ratio stride as `render_spp_sharded`, so the
+    1-wide special cases are bit-identical to the 1-D modes). Radiance is
+    reduce-summed over the spp axis on ICI; the film axis needs no
+    collective at all. Total spp per call = sample_count * spp-axis size.
+
+    Returns ((H, W, 3) radiance sum, rays scalar); H must divide by the
+    film-axis size."""
+    f_ax, s_ax = mesh.axis_names
+    nf = mesh.shape[f_ax]
+    ns = mesh.shape[s_ax]
+    if height % nf:
+        raise ValueError(f"height {height} not divisible by film axis {nf}")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(f_ax), P(f_ax), P()),
+        out_specs=(P(f_ax), P()),
+        check_vma=False,
+    )
+    def shard_render(ds_, tex_, iv, ip, px, py, frame_):
+        my_s = jax.lax.axis_index(s_ax).astype(jnp.uint32)
+        local_frame = frame_ + my_s * jnp.uint32(2654435761)
+        radiance, rays = render_flat(ds_, tex_, iv, ip,
+                                     px.reshape(-1), py.reshape(-1),
+                                     width, height, local_frame, settings)
+        rows = height // nf
+        radiance = jax.lax.psum(radiance.reshape(rows, width, 3), s_ax)
+        return radiance, jax.lax.psum(rays, (f_ax, s_ax))
+
+    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.uint32),
+                          jnp.arange(width, dtype=jnp.uint32), indexing="ij")
+    return shard_render(ds, tex,
+                        jnp.asarray(inv_view, jnp.float32),
+                        jnp.asarray(inv_proj, jnp.float32), xs, ys,
                         jnp.asarray(frame, jnp.uint32))

@@ -179,3 +179,35 @@ def test_compaction_bit_identical(default_setup):
         R._size_class = orig
 
     np.testing.assert_array_equal(with_compact, without)
+
+
+def test_film_spp_2d_mesh(default_setup):
+    """Combined (film, spp) 2-D mesh: the 1-wide special cases are
+    bit-identical to the 1-D modes, and the true 2-D grid merges
+    decorrelated sample groups over the spp axis."""
+    from pt.dist.mesh import (film_mesh, film_spp_mesh,
+                              render_image_sharded,
+                              render_image_spp_sharded, render_spp_sharded)
+    _, ds, tex, cam = default_setup
+    st = PathTracingSettings(sample_count=1, bounce_count=3)
+    args = (ds, tex, cam.inv_view, cam.inv_proj, 32, 32, 0, st)
+
+    # film-only degeneration (8x1) == 1-D film sharding, bit-exact
+    img_f, rays_f = render_image_sharded(*args, film_mesh())
+    img_2d, rays_2d = render_image_spp_sharded(*args, film_spp_mesh(8, 1))
+    np.testing.assert_array_equal(np.asarray(img_2d), np.asarray(img_f))
+    assert int(rays_2d) == int(rays_f)
+
+    # spp-only degeneration (1x8) == 1-D spp sharding, bit-exact
+    img_s, rays_s = render_spp_sharded(*args, film_mesh())
+    img_2s, rays_2s = render_image_spp_sharded(*args, film_spp_mesh(1, 8))
+    np.testing.assert_array_equal(np.asarray(img_2s), np.asarray(img_s))
+    assert int(rays_2s) == int(rays_s)
+
+    # true 2-D grid: 4 film groups x 2 sample groups -> ~2x radiance
+    img, rays = render_image_spp_sharded(*args, film_spp_mesh(4, 2))
+    ref, rays_ref = render_image_stats(ds, tex, cam.inv_view, cam.inv_proj,
+                                       32, 32, 0, st)
+    ratio = float(np.asarray(img).mean() / np.asarray(ref).mean())
+    assert 1.5 < ratio < 2.6            # 2 merged films within MC noise
+    assert int(rays) > int(rays_ref)
