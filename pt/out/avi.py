@@ -57,8 +57,10 @@ class MjpegAviWriter:
         # avih: MainAVIHeader
         f.write(b"avih" + struct.pack("<I", 56))
         usec_per_frame = int(round(1e6 * self._scale / self._rate))
-        self._avih_frames_pos = f.tell() + 16       # dwTotalFrames offset
-        self._avih_bufsize_pos = f.tell() + 24      # dwSuggestedBufferSize
+        # field offsets into the avih payload: dwTotalFrames is the 5th
+        # dword (+16), dwSuggestedBufferSize the 8th (+28)
+        self._avih_frames_pos = f.tell() + 16
+        self._avih_bufsize_pos = f.tell() + 28
         f.write(struct.pack(
             "<14I", usec_per_frame, 0, 0, AVIF_HASINDEX,
             0,                                      # dwTotalFrames (patched)
@@ -75,8 +77,9 @@ class MjpegAviWriter:
 
         f.write(b"strh" + struct.pack("<I", 56))
         f.write(b"vids" + b"MJPG")
-        self._strh_length_pos = f.tell() + 28       # dwLength offset
-        self._strh_bufsize_pos = f.tell() + 32
+        # offsets past fccType/fccHandler: dwLength at +24, buffer at +28
+        self._strh_length_pos = f.tell() + 24
+        self._strh_bufsize_pos = f.tell() + 28
         f.write(struct.pack("<IHHIIIII", 0, 0, 0, 0,
                             self._scale, self._rate, 0,
                             0))                     # dwLength (patched)

@@ -309,9 +309,20 @@ def test_video_without_ffmpeg_writes_mjpeg_avi(tmp_path, monkeypatch):
     assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
     riff_size = struct.unpack("<I", data[4:8])[0]
     assert riff_size == len(data) - 8            # patched size is exact
-    avih = data.index(b"avih")
-    total_frames = struct.unpack("<I", data[avih + 24:avih + 28])[0]
-    assert total_frames == 3
+    avih = data.index(b"avih") + 8            # start of the payload
+    usec, _, _, flags, total_frames, init, streams, bufsize, w, h = \
+        struct.unpack("<10I", data[avih:avih + 40])
+    assert total_frames == 3 and streams == 1
+    assert (w, h) == (32, 16)
+    assert usec == round(1e6 / 24.0)
+    assert flags & 0x10                       # AVIF_HASINDEX
+    assert bufsize > 0
+    strh = data.index(b"strh") + 8
+    assert data[strh:strh + 8] == b"vidsMJPG"
+    scale, rate = struct.unpack("<II", data[strh + 20:strh + 28])
+    assert rate / scale == 24.0
+    length = struct.unpack("<I", data[strh + 32:strh + 36])[0]
+    assert length == 3
     assert b"MJPG" in data and b"idx1" in data
 
     # decode the first frame chunk and compare to the submitted frame
