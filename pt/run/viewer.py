@@ -16,8 +16,13 @@ Serves:
   GET  /stream  multipart/x-mixed-replace MJPEG of the latest snapshot
   GET  /frame   single JPEG (poll fallback)
   GET  /state   JSON render stats
+  GET  /scenes  JSON {"group/name": ...} scene list (≙ the UI scene tab)
   POST /input   JSON input events: {"events": [{"type": "key"|"button"|
                 "move", ...}]}
+  POST /scene   JSON {"scene": "Group/Name"} — switch scenes live; the
+                switch is applied on the render-loop thread between
+                frames (≙ the UI Scenes tab + SetActiveScene,
+                UserInterface.cpp:253-275, 1429-1452)
 """
 
 from __future__ import annotations
@@ -43,8 +48,23 @@ _PAGE = """<!doctype html>
 </style></head><body>
 <img id="v" src="/stream" tabindex="0" draggable="false">
 <div id="hud">WASD move &middot; Q/E down/up &middot; hold RMB / click to
-look &middot; P pause animation &middot; Space show/hide HUD</div>
+look &middot; P pause animation &middot; Space show/hide HUD &middot;
+<select id="scene"><option>loading scenes...</option></select></div>
 <script>
+const sel = document.getElementById('scene');
+fetch('/scenes').then(r => r.json()).then(d => {
+  sel.innerHTML = '';
+  for (const s of d.scenes) {
+    const o = document.createElement('option');
+    o.value = o.textContent = s;
+    sel.appendChild(o);
+  }
+});
+sel.addEventListener('change', () =>
+  fetch('/scene', {method: 'POST',
+                   body: JSON.stringify({scene: sel.value})}));
+sel.addEventListener('keydown', e => e.stopPropagation());
+sel.addEventListener('keyup', e => e.stopPropagation());
 const v = document.getElementById('v');
 let queue = [];
 function post(ev) {
@@ -101,11 +121,13 @@ class ViewerServer:
     frames via publish() (typically from Application.run's on_frame)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8000,
-                 on_key_release=None):
+                 on_key_release=None, scenes=None, on_scene_select=None):
         self._frame_lock = threading.Condition()
         self._jpeg: bytes = _encode_jpeg(np.zeros((8, 8, 3), np.float32))
         self._seq = 0
         self._state = {}
+        self._scenes = list(scenes or [])
+        self._on_scene_select = on_scene_select
         if on_key_release is not None:
             Input.set_key_release_callback(on_key_release)
         server = self
@@ -138,6 +160,13 @@ class ViewerServer:
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
+                elif self.path == "/scenes":
+                    body = json.dumps({"scenes": server._scenes}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif self.path == "/stream":
                     self.send_response(200)
                     self.send_header(
@@ -160,6 +189,23 @@ class ViewerServer:
                     self.send_error(404)
 
             def do_POST(self):
+                if self.path == "/scene":
+                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        data = json.loads(self.rfile.read(length) or b"{}")
+                        name = str(data.get("scene", ""))
+                        if server._on_scene_select and name in server._scenes:
+                            server._on_scene_select(name)
+                        else:
+                            self.send_error(400)
+                            return
+                    except ValueError:
+                        self.send_error(400)
+                        return
+                    self.send_response(204)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 if self.path != "/input":
                     self.send_error(404)
                     return
@@ -236,6 +282,7 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
     browser input driving the fly camera. Blocks until interrupted."""
 
     hud_state = {"visible": show_hud}
+    pending_scene: list = []
 
     def on_key_release(key: str) -> None:
         # ≙ UserInterface::OnKeyRelease (UserInterface.cpp:202-220):
@@ -246,7 +293,11 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
         elif key == "space":
             hud_state["visible"] = not hud_state["visible"]
 
-    server = ViewerServer(host, port, on_key_release)
+    scene_names = [f"{g}/{n}"
+                   for g, scenes in app.scene_manager.groups.items()
+                   for n in scenes]
+    server = ViewerServer(host, port, on_key_release, scenes=scene_names,
+                          on_scene_select=pending_scene.append)
     server.start()
     print(f"viewer at http://{server.host}:{server.port}/  (Ctrl-C stops)",
           flush=True)
@@ -254,6 +305,16 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
     hud_cache: dict = {}
 
     def on_frame(snapshot: np.ndarray, total_samples: int) -> None:
+        # scene switches requested over HTTP apply here, on the loop
+        # thread, so the renderer is never mutated mid-frame
+        if pending_scene:
+            target = pending_scene.pop()
+            pending_scene.clear()
+            group, _, name = target.rpartition("/")
+            try:
+                app.set_scene(group, name, blocking=True)
+            except Exception as exc:       # keep-prev-on-failure semantics
+                log.warning("scene switch to %s failed: %s", target, exc)
         if show_hud and hud_state["visible"]:
             from pt.post import compose_ui
             h, w = snapshot.shape[:2]

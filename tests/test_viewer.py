@@ -143,3 +143,76 @@ class TestViewerServer:
         Input.set_key("w", False)
         assert frames >= 1
         assert not np.array_equal(cam.position, p0)  # camera flew forward
+
+
+class TestSceneSwitch:
+    def test_scene_endpoints(self):
+        from pt.run.viewer import ViewerServer
+        picked = []
+        server = ViewerServer(port=0, scenes=["A/B", "C/D"],
+                              on_scene_select=picked.append)
+        server.start()
+        base = f"http://{server.host}:{server.port}"
+        try:
+            data = json.loads(
+                urllib.request.urlopen(f"{base}/scenes", timeout=5).read())
+            assert data["scenes"] == ["A/B", "C/D"]
+            req = urllib.request.Request(
+                f"{base}/scene", data=json.dumps({"scene": "C/D"}).encode(),
+                method="POST")
+            assert urllib.request.urlopen(req, timeout=5).status == 204
+            assert picked == ["C/D"]
+            bad = urllib.request.Request(
+                f"{base}/scene", data=json.dumps({"scene": "nope"}).encode(),
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError):
+                urllib.request.urlopen(bad, timeout=5)
+        finally:
+            server.stop()
+
+    def test_live_scene_switch_applies_between_frames(self):
+        """POST /scene mid-session swaps the active scene on the render
+        loop thread (≙ the UI Scenes tab → SetActiveScene,
+        UserInterface.cpp:253-275)."""
+        import threading
+        import time as _time
+
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.app import Application
+        from pt.run.viewer import run_viewer
+
+        app = Application()
+        app.renderer.set_settings(PathTracingSettings(
+            sample_count=1, bounce_count=2, backend="brute"))
+        app.init(width=24, height=24)
+        assert app.renderer.scene.name == "Default"
+
+        holder = {}
+
+        def poke():
+            # wait for the server port to be known, then switch scenes
+            while "base" not in holder:
+                _time.sleep(0.02)
+            req = urllib.request.Request(
+                holder["base"] + "/scene",
+                data=json.dumps({"scene": "Test Scenes/Reuse Mesh"}).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=5)
+
+        t = threading.Thread(target=poke, daemon=True)
+
+        import pt.run.viewer as V
+        orig = V.ViewerServer
+
+        class Hooked(orig):
+            def start(self):
+                super().start()
+                holder["base"] = f"http://{self.host}:{self.port}"
+                t.start()
+
+        V.ViewerServer = Hooked
+        try:
+            run_viewer(app, port=0, duration_seconds=3.0, show_hud=False)
+        finally:
+            V.ViewerServer = orig
+        assert app.renderer.scene.name == "Reuse Mesh"
