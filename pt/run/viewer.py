@@ -23,6 +23,12 @@ Serves:
                 switch is applied on the render-loop thread between
                 frames (≙ the UI Scenes tab + SetActiveScene,
                 UserInterface.cpp:253-275, 1429-1452)
+  POST /settings JSON with any of bounce_count/sample_count (path
+                tracing — retraces a new jit variant, like the
+                reference's pipeline-variant rebuild) and exposure/
+                bloom_threshold/bloom_intensity/enable_bloom (post);
+                applied between frames (≙ the UI Settings tab →
+                Renderer::SetSettings, Renderer.cpp:825-852)
 """
 
 from __future__ import annotations
@@ -121,13 +127,15 @@ class ViewerServer:
     frames via publish() (typically from Application.run's on_frame)."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8000,
-                 on_key_release=None, scenes=None, on_scene_select=None):
+                 on_key_release=None, scenes=None, on_scene_select=None,
+                 on_settings=None):
         self._frame_lock = threading.Condition()
         self._jpeg: bytes = _encode_jpeg(np.zeros((8, 8, 3), np.float32))
         self._seq = 0
         self._state = {}
         self._scenes = list(scenes or [])
         self._on_scene_select = on_scene_select
+        self._on_settings = on_settings
         if on_key_release is not None:
             Input.set_key_release_callback(on_key_release)
         server = self
@@ -206,6 +214,22 @@ class ViewerServer:
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
+                if self.path == "/settings":
+                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        data = json.loads(self.rfile.read(length) or b"{}")
+                        if not isinstance(data, dict) or \
+                                server._on_settings is None:
+                            raise ValueError("no settings sink")
+                        server._on_settings(data)
+                    except ValueError as exc:
+                        log.warning("bad settings: %s", exc)
+                        self.send_error(400)
+                        return
+                    self.send_response(204)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 if self.path != "/input":
                     self.send_error(404)
                     return
@@ -276,6 +300,22 @@ def _build_hud(width: int, height: int) -> np.ndarray:
     return np.asarray(hud, np.uint8)
 
 
+def apply_settings(app, data: dict) -> None:
+    """Map a JSON settings dict onto the renderer's PathTracingSettings /
+    PostProcessSettings dataclasses (unknown keys ignored; ≙ the Settings
+    tab writing Renderer::SetSettings, Renderer.cpp:825-852)."""
+    import dataclasses
+
+    st, post = app.renderer.settings, app.renderer.post
+    st_fields = {f.name for f in dataclasses.fields(type(st))}
+    post_fields = {f.name for f in dataclasses.fields(type(post))}
+    st_up = {k: v for k, v in data.items() if k in st_fields}
+    post_up = {k: v for k, v in data.items() if k in post_fields}
+    app.renderer.set_settings(
+        dataclasses.replace(st, **st_up) if st_up else None,
+        dataclasses.replace(post, **post_up) if post_up else None)
+
+
 def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
                duration_seconds: float = 1e30, show_hud: bool = True) -> int:
     """Drive Application.run with frames streaming to the browser and
@@ -283,6 +323,7 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
 
     hud_state = {"visible": show_hud}
     pending_scene: list = []
+    pending_settings: list = []
 
     def on_key_release(key: str) -> None:
         # ≙ UserInterface::OnKeyRelease (UserInterface.cpp:202-220):
@@ -297,7 +338,8 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
                    for g, scenes in app.scene_manager.groups.items()
                    for n in scenes]
     server = ViewerServer(host, port, on_key_release, scenes=scene_names,
-                          on_scene_select=pending_scene.append)
+                          on_scene_select=pending_scene.append,
+                          on_settings=pending_settings.append)
     server.start()
     print(f"viewer at http://{server.host}:{server.port}/  (Ctrl-C stops)",
           flush=True)
@@ -315,6 +357,13 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
                 app.set_scene(group, name, blocking=True)
             except Exception as exc:       # keep-prev-on-failure semantics
                 log.warning("scene switch to %s failed: %s", target, exc)
+        if pending_settings:
+            data = pending_settings.pop()
+            pending_settings.clear()
+            try:
+                apply_settings(app, data)
+            except (TypeError, ValueError) as exc:
+                log.warning("settings update rejected: %s", exc)
         if show_hud and hud_state["visible"]:
             from pt.post import compose_ui
             h, w = snapshot.shape[:2]

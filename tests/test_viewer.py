@@ -216,3 +216,37 @@ class TestSceneSwitch:
         finally:
             V.ViewerServer = orig
         assert app.renderer.scene.name == "Reuse Mesh"
+
+
+class TestLiveSettings:
+    def test_settings_endpoint(self):
+        from pt.run.viewer import ViewerServer
+        got = []
+        server = ViewerServer(port=0, on_settings=got.append)
+        server.start()
+        base = f"http://{server.host}:{server.port}"
+        try:
+            req = urllib.request.Request(
+                f"{base}/settings",
+                data=json.dumps({"bounce_count": 3,
+                                 "exposure": 2.0}).encode(),
+                method="POST")
+            assert urllib.request.urlopen(req, timeout=5).status == 204
+            assert got == [{"bounce_count": 3, "exposure": 2.0}]
+        finally:
+            server.stop()
+
+    def test_apply_settings_maps_both_dataclasses(self):
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.app import Application
+        from pt.run.viewer import apply_settings
+
+        app = Application()
+        app.renderer.set_settings(PathTracingSettings(
+            sample_count=1, bounce_count=2, backend="brute"))
+        apply_settings(app, {"bounce_count": 4, "exposure": 2.5,
+                             "enable_bloom": False, "unknown_key": 9})
+        assert app.renderer.settings.bounce_count == 4
+        assert app.renderer.settings.backend == "brute"   # untouched
+        assert app.renderer.post.exposure == 2.5
+        assert app.renderer.post.enable_bloom is False
