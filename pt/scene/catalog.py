@@ -12,9 +12,10 @@ The NVIDIA ORCA collections mislabel their roughness/metalness textures as
 specular — the remap below reproduces the reference's
 NVIDIAOrcaTextureMapping (rationale comment at ExampleScenes.cpp:97-110).
 
-FBX-sourced scenes (Sun Temple, Bistro, Zero Day, Emerald Square) must be
-pre-converted to glTF for this importer; both the original and a
-`.gltf`/`.glb` sibling are probed.
+FBX-sourced scenes (Sun Temple, Bistro, Zero Day, Emerald Square) load
+through the native binary/ASCII FBX importer (`pt/scene/fbx.py`); when
+the FBX itself is absent, a pre-converted `.gltf`/`.glb` sibling is
+probed as a fallback.
 """
 
 from __future__ import annotations
