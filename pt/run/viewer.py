@@ -202,7 +202,13 @@ class ViewerServer:
                     try:
                         data = json.loads(self.rfile.read(length) or b"{}")
                         name = str(data.get("scene", ""))
-                        if server._on_scene_select and name in server._scenes:
+                        # a filesystem path loads as a User Scene (≙ the
+                        # file-dialog open flow, UserInterface.cpp:768)
+                        is_path = str(data.get("path", ""))
+                        if server._on_scene_select and is_path:
+                            server._on_scene_select("path:" + is_path)
+                        elif server._on_scene_select and \
+                                name in server._scenes:
                             server._on_scene_select(name)
                         else:
                             self.send_error(400)
@@ -352,9 +358,30 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
         if pending_scene:
             target = pending_scene.pop()
             pending_scene.clear()
-            group, _, name = target.rpartition("/")
             try:
-                app.set_scene(group, name, blocking=True)
+                if target.startswith("path:"):
+                    # ≙ UserInterface.cpp:768: load an arbitrary file as
+                    # "User Scene" and make it active
+                    from pt.core.camera import InputCamera
+                    from pt.scene.manager import SceneDescription
+                    path = target[5:]
+                    loader = SceneDescription("User Scene",
+                                              [path]).to_loader()
+                    if loader is None:
+                        raise FileNotFoundError(path)
+                    if loader.default_camera is None:
+                        # the reference's default scene camera (Scene.h:
+                        # 259-260, reversed-arg quirk preserved)
+                        loader.default_camera = InputCamera(
+                            45.0, 100.0, 0.1, (3.0, 1.0, 0.0),
+                            (-1.0, 0.0, 0.0))
+                    app.scene_manager.register("User Scenes", "User Scene",
+                                               loader)
+                    app.set_scene("User Scenes", "User Scene",
+                                  blocking=True)
+                else:
+                    group, _, name = target.rpartition("/")
+                    app.set_scene(group, name, blocking=True)
             except Exception as exc:       # keep-prev-on-failure semantics
                 log.warning("scene switch to %s failed: %s", target, exc)
         if pending_settings:

@@ -250,3 +250,53 @@ class TestLiveSettings:
         assert app.renderer.settings.backend == "brute"   # untouched
         assert app.renderer.post.exposure == 2.5
         assert app.renderer.post.enable_bloom is False
+
+
+class TestUserSceneLoad:
+    def test_post_path_loads_user_scene(self, tmp_path):
+        """POST /scene {"path": file} loads an arbitrary file as 'User
+        Scene' (≙ the file-dialog open flow, UserInterface.cpp:768)."""
+        import threading
+        import time as _time
+
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.app import Application
+        from pt.run.viewer import run_viewer
+        from pt.scene.examples import make_roughness_test_scene
+        from pt.scene.gltf_export import export_glb
+
+        glb = str(tmp_path / "user.glb")
+        export_glb(make_roughness_test_scene(), glb)
+
+        app = Application()
+        app.renderer.set_settings(PathTracingSettings(
+            sample_count=1, bounce_count=2, backend="brute"))
+        app.init(width=24, height=24)
+
+        holder = {}
+
+        def poke():
+            while "base" not in holder:
+                _time.sleep(0.02)
+            req = urllib.request.Request(
+                holder["base"] + "/scene",
+                data=json.dumps({"path": glb}).encode(), method="POST")
+            urllib.request.urlopen(req, timeout=5)
+
+        t = threading.Thread(target=poke, daemon=True)
+        import pt.run.viewer as V
+        orig = V.ViewerServer
+
+        class Hooked(orig):
+            def start(self):
+                super().start()
+                holder["base"] = f"http://{self.host}:{self.port}"
+                t.start()
+
+        V.ViewerServer = Hooked
+        try:
+            run_viewer(app, port=0, duration_seconds=3.0, show_hud=False)
+        finally:
+            V.ViewerServer = orig
+        assert app.renderer.scene.name == "User Scene"
+        assert "User Scene" in app.scene_manager.groups["User Scenes"]
