@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--focal-distance", type=float, default=1.0)
     r.add_argument("--backend", default="pallas",
                    choices=["pallas", "bvh", "brute"])
+    r.add_argument("--checkpoint", default=None,
+                   help="film checkpoint file for long single-frame "
+                        "renders: resumed if present, saved every 5 min, "
+                        "deleted on success")
     r.add_argument("--hdr", action="store_true",
                    help="HDR10 PQ output encoding")
 
@@ -151,7 +155,8 @@ def cmd_render(args) -> int:
     rs = RenderSettings(
         output=OutputInfo(args.out, width, height, args.framerate, fmt),
         frame_count=args.frames, max_sample_count=args.spp,
-        max_time_seconds=args.max_time, hdr=args.hdr)
+        max_time_seconds=args.max_time, hdr=args.hdr,
+        checkpoint_path=args.checkpoint)
 
     def progress(frame, total, samples):
         print(f"\rframe {frame + 1}/{total}  {samples}/{args.spp} spp",

@@ -32,6 +32,11 @@ class RenderSettings:
     max_time_seconds: Optional[float] = None
     samples_per_step: int = 8            # accumulation granularity
     hdr: bool = False                    # tonemap mode for the saved frame
+    # periodic film checkpointing for long single-frame renders (SURVEY
+    # §5 checkpoint/resume; an upgrade over the reference): an existing
+    # checkpoint is resumed with the exact RNG stream, deleted on success
+    checkpoint_path: Optional[str] = None     # frame_count == 1 only
+    checkpoint_interval_seconds: float = 300.0
 
 
 class OfflineRenderer:
@@ -56,6 +61,7 @@ class OfflineRenderer:
             out = out._replace(sequence=True)   # numbered image frames
         self._cancelled = False
 
+        ckpt = settings.checkpoint_path if settings.frame_count == 1 else None
         InputCamera.disable_input()
         r.on_resize(out.width, out.height)
         self.saver.register_output(out)
@@ -63,17 +69,36 @@ class OfflineRenderer:
         try:
             for frame in range(settings.frame_count):
                 r.reset_accumulation()
+                if ckpt and frame == 0:
+                    import os
+                    if os.path.exists(ckpt):
+                        try:
+                            r.load_checkpoint(ckpt)
+                            Stats.add_stat(
+                                "Rendering",
+                                f"resumed at {r.total_samples} spp")
+                        except Exception as exc:
+                            import logging
+                            logging.getLogger("pt").warning(
+                                "checkpoint %s unusable (%s); starting "
+                                "fresh", ckpt, exc)
+                            r.reset_accumulation()
                 start = time.perf_counter()
+                last_ckpt = start
                 while not self._cancelled:
                     r.render(settings.samples_per_step)
                     if progress:
                         progress(frame, settings.frame_count, r.total_samples)
                     if r.total_samples >= settings.max_sample_count:
                         break
+                    now = time.perf_counter()
                     if (settings.max_time_seconds is not None
-                            and time.perf_counter() - start
-                            >= settings.max_time_seconds):
+                            and now - start >= settings.max_time_seconds):
                         break
+                    if ckpt and (now - last_ckpt
+                                 >= settings.checkpoint_interval_seconds):
+                        r.save_checkpoint(ckpt)
+                        last_ckpt = now
                 if self._cancelled:
                     break
                 # save through the post stack; HDR output keeps linear
@@ -94,7 +119,18 @@ class OfflineRenderer:
         finally:
             if self._cancelled:
                 self.saver.cancel_output()
+                # keep the checkpoint: a cancelled long render can resume
+                if ckpt and r.total_samples > 0:
+                    try:
+                        r.save_checkpoint(ckpt)
+                    except Exception:
+                        pass
             else:
                 self.saver.end_output()
+                if ckpt:
+                    import contextlib
+                    import os
+                    with contextlib.suppress(OSError):
+                        os.remove(ckpt)
             InputCamera.enable_input()
         return frames_written

@@ -346,3 +346,72 @@ def test_video_cancel_deletes_partial_avi(tmp_path, monkeypatch):
     out.cancel_output()
     assert not (tmp_path / "clip.avi").exists()
     assert not (tmp_path / "clip.mp4").exists()
+
+
+def test_offline_checkpoint_resume_bit_exact(tmp_path):
+    """A long offline render interrupted mid-way resumes from its film
+    checkpoint and lands on the SAME image as an uninterrupted run
+    (seeding is (pixel, total_samples), so the stream continues exactly)."""
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.offline import OfflineRenderer, RenderSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.examples import make_default_scene
+
+    st = PathTracingSettings(sample_count=1, bounce_count=3, backend="brute")
+    ckpt = str(tmp_path / "film.ckpt.npz")
+
+    # uninterrupted 4-spp reference
+    r0 = Renderer(st)
+    r0.set_scene(make_default_scene(), stream_textures=False)
+    path0 = str(tmp_path / "full.png")
+    OfflineRenderer(r0).render(RenderSettings(
+        output=OutputInfo(path0, 24, 24, 30.0, "png"),
+        frame_count=1, max_sample_count=4, samples_per_step=2))
+    full = np.asarray(r0.accum)
+
+    # "interrupted" run: 2 spp, then a checkpoint is left behind
+    r1 = Renderer(st)
+    r1.set_scene(make_default_scene(), stream_textures=False)
+    r1.on_resize(24, 24)
+    r1.render(2)
+    r1.save_checkpoint(ckpt)
+
+    # resumed run picks the checkpoint up and finishes to 4 spp
+    r2 = Renderer(st)
+    r2.set_scene(make_default_scene(), stream_textures=False)
+    path2 = str(tmp_path / "resumed.png")
+    OfflineRenderer(r2).render(RenderSettings(
+        output=OutputInfo(path2, 24, 24, 30.0, "png"),
+        frame_count=1, max_sample_count=4, samples_per_step=2,
+        checkpoint_path=ckpt))
+    assert r2.total_samples == 4
+    np.testing.assert_array_equal(np.asarray(r2.accum), full)
+    assert not os.path.exists(ckpt)      # deleted on success
+
+
+def test_offline_checkpoint_written_periodically(tmp_path):
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.offline import OfflineRenderer, RenderSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.examples import make_default_scene
+
+    st = PathTracingSettings(sample_count=1, bounce_count=2, backend="brute")
+    ckpt = str(tmp_path / "p.ckpt.npz")
+    r = Renderer(st)
+    r.set_scene(make_default_scene(), stream_textures=False)
+    off = OfflineRenderer(r)
+    seen = []
+
+    def progress(frame, total, samples):
+        # interval 0 → a checkpoint lands after every non-final step
+        if samples < 6:
+            seen.append(os.path.exists(ckpt))
+        if samples >= 4:
+            off.cancel()
+
+    off.render(RenderSettings(
+        output=OutputInfo(str(tmp_path / "x.png"), 16, 16, 30.0, "png"),
+        frame_count=1, max_sample_count=6, samples_per_step=2,
+        checkpoint_path=ckpt, checkpoint_interval_seconds=0.0), progress)
+    assert os.path.exists(ckpt)          # kept after cancellation
+    assert any(seen[1:])                 # written during the run
