@@ -21,17 +21,26 @@ import json
 import time
 
 BASELINE_MRAYS = 200.0
+# Courtyard spp at which the tonemapped film's MSE vs deep accumulation
+# drops below the 1e-3 contract threshold (measured trajectory:
+# benches/convergence.py, 2026-08-17 — 128 spp → 8.4e-4; BASELINE.md)
+SPP_CONVERGED = 128
 
 
-def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
+def _make(scene, width, height, bounces, spp=4):
     from pt.render.integrator import PathTracingSettings
     from pt.run.renderer import Renderer
 
-    renderer = Renderer(PathTracingSettings(sample_count=4,
+    renderer = Renderer(PathTracingSettings(sample_count=spp,
                                             bounce_count=bounces,
                                             backend="pallas"))
     renderer.set_scene(scene, stream_textures=False)
     renderer.on_resize(width, height)
+    return renderer
+
+
+def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
+    renderer = _make(scene, width, height, bounces)
     # warmup: compiles the kernels AND the compaction size classes the
     # plan discovers after the first step (each class is a cached variant)
     renderer.render(1)
@@ -46,6 +55,19 @@ def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
     return total_rays / dt / 1e6
 
 
+def measure_spp_rate(scene, width, height, steps=2, spp=1) -> float:
+    """Samples-per-pixel per second (the BASELINE.json 'spp/sec' metric)."""
+    renderer = _make(scene, width, height, bounces=5, spp=spp)
+    renderer.render()
+    _ = renderer.rays_traced                 # sync before the clock
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        renderer.render()
+    _ = renderer.rays_traced
+    dt = time.perf_counter() - t0
+    return steps * spp / dt
+
+
 def main() -> None:
     import pt  # noqa: F401  (configures the persistent compile cache)
     from pt.scene.examples import make_heightfield_scene
@@ -57,6 +79,11 @@ def main() -> None:
     # coherent primary+NEE work, where packet traversal runs near its
     # coherent rate — the user-facing interactive number
     preview = measure(make_courtyard_scene(), bounces=1)
+    # the other two BASELINE.json headline metrics: spp/s at 1080p on the
+    # Sponza-class scene, and time-to-converged frame (MSE < 1e-3 vs deep
+    # accumulation at SPP_CONVERGED samples; trajectory in BASELINE.md)
+    spp_1080 = measure_spp_rate(make_courtyard_scene(), 1920, 1080)
+    spp_256 = measure_spp_rate(make_courtyard_scene(), 256, 256, spp=4)
 
     # headline stays the heightfield for cross-round comparability
     # (round 1 measured 2.96 on it); the Sponza-class courtyard (213k
@@ -70,6 +97,9 @@ def main() -> None:
         "scene": "heightfield-100k-tris",
         "courtyard_sponza_class_mrays": round(courtyard, 3),
         "courtyard_preview_1bounce_mrays": round(preview, 3),
+        "courtyard_spp_per_s_1080p": round(spp_1080, 4),
+        "courtyard_time_to_converged_256_s": round(SPP_CONVERGED / spp_256,
+                                                   1),
     }))
 
 

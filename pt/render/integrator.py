@@ -94,6 +94,23 @@ class PathTracingSettings:
     sort_rays: bool = False
 
 
+class AlphaSplit(NamedTuple):
+    """Opaque/alpha scene partition for any-hit emulation (≙ the RT
+    hardware's opaque-flag fast path: geometry flagged opaque traverses
+    without any-hit invocations, AccelerationStructure.cpp geometry
+    flags + anyhit.rahit). Alpha-tested triangles are typically a small
+    fraction of a scene (courtyard: ~11%), so the re-trace rounds that
+    emulate any-hit shaders walk a tree ~10x smaller than the scene
+    tree, and shadow queries use the early-out occlusion kernel on the
+    opaque tree instead of full closest-hit traversals."""
+    bvh_opaque: Optional[object]  # accel over the opaque subset (None→brute)
+    tri_opaque: jax.Array         # (K0, 3) rows into wpos
+    sel_opaque: jax.Array         # (K0,) global triangle ids
+    bvh_alpha: Optional[object]   # accel over the non-opaque subset
+    tri_alpha: jax.Array          # (K1, 3)
+    sel_alpha: jax.Array          # (K1,)
+
+
 class Accel(NamedTuple):
     """World-space geometry + acceleration structure for one frame
     (≙ the per-frame AccelerationStructure, Renderer.h:163).
@@ -109,6 +126,7 @@ class Accel(NamedTuple):
     tri_bit: jax.Array        # (T, 9)
     tri_uv: jax.Array         # (T, 6) uv0|uv1|uv2
     bvh: Optional[object]     # PacketBVH | ThreadedBVH | None (static type)
+    alpha_split: Optional[AlphaSplit] = None  # opaque/alpha partition
 
 
 class BounceCarry(NamedTuple):
@@ -276,19 +294,114 @@ def _degenerate_masked(bvh, origins, dirs, tmax, live):
     return o, d, t
 
 
-def _surface_color_alpha(ds: DeviceScene, tex: DeviceTextures, accel, hit):
-    """Color-texture RGBA at the hit (≙ the any-hit shaders' color fetch:
-    texture(colorTex, uv) * colorFactor, anyhit.rahit:44-50)."""
+def _surface_color_alpha_tri(ds: DeviceScene, tex: DeviceTextures, accel,
+                             tri, u, v):
+    """Color-texture RGBA at a (global-tri, u, v) surface point (≙ the
+    any-hit shaders' color fetch: texture(colorTex, uv) * colorFactor,
+    anyhit.rahit:44-50)."""
     from pt.render.textures import sample_texture_grad
     from pt.scene.flatten import F_COLOR, T_COLOR
-    tri = jnp.maximum(hit.tri, 0)
-    bary0 = (1.0 - hit.u - hit.v)[:, None]
+    tri = jnp.maximum(tri, 0)
+    bary0 = (1.0 - u - v)[:, None]
     ru = accel.tri_uv[tri]
-    uv = (ru[:, 0:2] * bary0 + ru[:, 2:4] * hit.u[:, None]
-          + ru[:, 4:6] * hit.v[:, None])
+    uv = (ru[:, 0:2] * bary0 + ru[:, 2:4] * u[:, None]
+          + ru[:, 4:6] * v[:, None])
     row = ds.tri_mat[tri]
     texel = sample_texture_grad(tex, ds.mat_tex[row, T_COLOR], uv)
     return texel * ds.mat_params[row, F_COLOR:F_COLOR + 4]
+
+
+def _surface_color_alpha(ds: DeviceScene, tex: DeviceTextures, accel, hit):
+    return _surface_color_alpha_tri(ds, tex, accel, hit.tri, hit.u, hit.v)
+
+
+def _remap_subset_tri(sel, tri):
+    """Subset-local hit triangle ids → global ids (misses stay -1)."""
+    return jnp.where(tri >= 0, sel[jnp.maximum(tri, 0)], -1)
+
+
+def make_alpha_split_brute(ds: DeviceScene) -> Optional[AlphaSplit]:
+    """AlphaSplit over the brute backend (subset accels = None): the exact
+    split-loop semantics with no Pallas dependency. Used by CPU tests and
+    viable for small scenes on any backend; the production path builds
+    SAH/BF8 subset trees instead (pt/run/renderer.py)."""
+    import numpy as np
+    opq = np.asarray(ds.tri_opaque)
+    if not (opq.any() and (~opq).any()):
+        return None
+    tri = np.asarray(ds.tri_idx)
+    sel_o = np.nonzero(opq)[0].astype(np.int32)
+    sel_a = np.nonzero(~opq)[0].astype(np.int32)
+    return AlphaSplit(None, jnp.asarray(tri[sel_o]), jnp.asarray(sel_o),
+                      None, jnp.asarray(tri[sel_a]), jnp.asarray(sel_a))
+
+
+def _trace_closest_alpha_split(ds: DeviceScene, tex: DeviceTextures, accel,
+                               sp: AlphaSplit, origins, dirs, alive):
+    """Split-tree any-hit emulation (≙ the RT hardware fast path where
+    opaque geometry never invokes anyhit.rahit):
+
+    1. ONE closest-hit trace of the opaque tree gives a definitive
+       per-ray bound t_opq — no opaque surface needs re-tracing, ever.
+    2. ALPHA_ROUNDS closest-hit traces of the (small) alpha tree resolve
+       the α<0.5 skip chain strictly in front of that bound; the first
+       α≥0.5 candidate nearer than t_opq wins, else the opaque hit does.
+
+    vs the single-tree loop (below): the up-to-3 re-trace rounds walk a
+    tree ~10x smaller, and rays whose nearest surfaces are opaque never
+    pay a second full-tree traversal. Rays still pending after
+    ALPHA_ROUNDS transparent layers resolve to the opaque bound hit
+    (the single-tree loop kept the last transparent surface instead;
+    the reference's hardware loop is unbounded, so neither is exact —
+    this one errs toward geometry that actually blocks)."""
+    n = origins.shape[0]
+    o_t, d_t, t_t = _degenerate_masked(sp.bvh_opaque, origins, dirs,
+                                       TMAX, alive)
+    hit_o = trace_closest(sp.bvh_opaque, accel.wpos, sp.tri_opaque,
+                          o_t, d_t, t_t)
+    bound = hit_o.t
+    final_t = hit_o.t
+    final_tri = _remap_subset_tri(sp.sel_opaque, hit_o.tri)
+    final_u, final_v = hit_o.u, hit_o.v
+
+    pending = alive
+    cur_origin = origins
+    t_accum = jnp.zeros((n,), jnp.float32)
+    decal_color = jnp.zeros((n, 3), jnp.float32)
+    decal_alpha = jnp.zeros((n,), jnp.float32)
+    has_decal = jnp.zeros((n,), bool)
+
+    for _ in range(ALPHA_ROUNDS):
+        rem = jnp.maximum(bound - t_accum, 0.0)
+        o_t, d_t, t_t = _degenerate_masked(sp.bvh_alpha, cur_origin, dirs,
+                                           rem, pending)
+        hit_a = trace_closest(sp.bvh_alpha, accel.wpos, sp.tri_alpha,
+                              o_t, d_t, t_t)
+        tri_g = _remap_subset_tri(sp.sel_alpha, hit_a.tri)
+        valid = pending & hit_a.is_hit & (t_accum + hit_a.t < bound)
+        rgba = _surface_color_alpha_tri(ds, tex, accel, tri_g,
+                                        hit_a.u, hit_a.v)
+        alpha = rgba[:, 3]
+        accepts = valid & (alpha >= 0.5)
+        skips = valid & (alpha < 0.5)
+
+        record = skips & ~has_decal
+        decal_color = jnp.where(record[:, None], rgba[:, :3], decal_color)
+        decal_alpha = jnp.where(record, alpha, decal_alpha)
+        has_decal = has_decal | record
+
+        final_t = jnp.where(accepts, t_accum + hit_a.t, final_t)
+        final_tri = jnp.where(accepts, tri_g, final_tri)
+        final_u = jnp.where(accepts, hit_a.u, final_u)
+        final_v = jnp.where(accepts, hit_a.v, final_v)
+
+        step = hit_a.t + 1e-4
+        cur_origin = jnp.where(skips[:, None],
+                               cur_origin + dirs * step[:, None], cur_origin)
+        t_accum = jnp.where(skips, t_accum + step, t_accum)
+        pending = skips
+    final = type(hit_o)(final_t, final_tri, final_u, final_v)
+    return final, decal_color, decal_alpha, has_decal
 
 
 def trace_closest_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
@@ -299,7 +412,12 @@ def trace_closest_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
     decal_alpha (N,), has_decal (N,)).
 
     Static-shape re-trace loop: up to ALPHA_ROUNDS segments; masked lanes
-    idle. Opaque-only scenes never call this (ds.has_alpha is static)."""
+    idle. Opaque-only scenes never call this (ds.has_alpha is static).
+    When the accel carries an opaque/alpha partition, the much cheaper
+    split-tree scheme above is used instead."""
+    if accel.alpha_split is not None:
+        return _trace_closest_alpha_split(ds, tex, accel, accel.alpha_split,
+                                          origins, dirs, alive)
     n = origins.shape[0]
     pending = alive
     cur_origin = origins
@@ -346,6 +464,38 @@ def trace_closest_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
     return final, decal_color, decal_alpha, has_decal
 
 
+def _trace_occluded_alpha_split(ds: DeviceScene, tex: DeviceTextures, accel,
+                                sp: AlphaSplit, origins, dirs, dist, alive):
+    """Split-tree shadow query (see trace_occluded_alpha docstring)."""
+    n = origins.shape[0]
+    live = jnp.ones((n,), bool) if alive is None else alive
+    dist_b = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (n,))
+    o_t, d_t, t_t = _degenerate_masked(sp.bvh_opaque, origins, dirs,
+                                       dist_b, live)
+    occluded = live & trace_occluded(sp.bvh_opaque, accel.wpos,
+                                     sp.tri_opaque, o_t, d_t, t_t)
+
+    pending = live & ~occluded
+    cur_origin = origins
+    remaining = dist_b
+    for _ in range(ALPHA_ROUNDS):
+        o_t, d_t, t_t = _degenerate_masked(sp.bvh_alpha, cur_origin, dirs,
+                                           remaining, pending)
+        hit = trace_closest(sp.bvh_alpha, accel.wpos, sp.tri_alpha,
+                            o_t, d_t, t_t)
+        tri_g = _remap_subset_tri(sp.sel_alpha, hit.tri)
+        rgba = _surface_color_alpha_tri(ds, tex, accel, tri_g, hit.u, hit.v)
+        translucent = hit.is_hit & (rgba[:, 3] < 1.0)
+        occluded = occluded | (pending & hit.is_hit & ~translucent)
+        cont = pending & translucent
+        step = hit.t + 1e-4
+        cur_origin = jnp.where(cont[:, None],
+                               cur_origin + dirs * step[:, None], cur_origin)
+        remaining = jnp.where(cont, remaining - step, remaining)
+        pending = cont
+    return occluded
+
+
 def trace_occluded_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
                          origins, dirs, dist, alive=None):
     """Shadow query honoring alpha: any surface with α < 1 passes light
@@ -358,7 +508,20 @@ def trace_occluded_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
     costs nearly as much as closest-hit on enclosed scenes, so the loop's
     round-0 closest (which serves double duty) wins. The infrastructure
     (ALPHA_TRI_BIT pages, `packet_occluded_bf8(opaque_only=True)`) stays
-    for A/B and for open scenes where occlusion early-outs dominate."""
+    for A/B and for open scenes where occlusion early-outs dominate.
+
+    When the accel carries an opaque/alpha partition the query splits
+    differently (and strictly cheaper) than that prefilter: blocked =
+    any-opaque-within-dist (ONE early-out occlusion trace of the opaque
+    tree — no closest-hit ordering needed, since any blocker anywhere in
+    the segment shadows) OR any alpha surface with α≥1 within dist
+    (closest-hit rounds over the ~10x smaller alpha tree). The
+    single-tree loop instead pays up to ALPHA_ROUNDS full-tree
+    *closest-hit* traces, the most expensive query the kernels have."""
+    if accel.alpha_split is not None:
+        return _trace_occluded_alpha_split(ds, tex, accel,
+                                           accel.alpha_split, origins,
+                                           dirs, dist, alive)
     n = origins.shape[0]
     pending = jnp.ones((n,), bool) if alive is None else alive
     occluded = jnp.zeros((n,), bool)

@@ -411,29 +411,68 @@ class Renderer:
                 opq_np = np.asarray(self.ds.tri_opaque)
                 key = (geo_key(wpos_np), geo_key(tri_np),
                        int(opq_np.sum()), opq_np.shape)
-                bvh = Renderer._accel_cache.get(key)
-                if bvh is None:
+
+                def build_static(rows, opq_rows):
                     # spatial splits (SBVH): measured -14.5% closest-hit
                     # time on the courtyard (enclosed, thin columns/cards),
                     # neutral on the heightfield (benches/sbvh_ab.py)
-                    fine = build_packet_bvh_sah(wpos_np, tri_np, block=32,
+                    fine = build_packet_bvh_sah(wpos_np, rows, block=32,
                                                 max_leaves=8192,
-                                                tri_opaque_np=opq_np,
+                                                tri_opaque_np=opq_rows,
                                                 spatial=True)
-                    if fine is not None:
-                        bvh = build_bf8(fine)
-                    if bvh is None:
-                        bvh = build_packet_bvh_sah(wpos_np, tri_np,
-                                                   tri_opaque_np=opq_np,
-                                                   spatial=True)
+                    b = build_bf8(fine) if fine is not None else None
+                    if b is None:
+                        b = build_packet_bvh_sah(wpos_np, rows,
+                                                 tri_opaque_np=opq_rows,
+                                                 spatial=True)
+                    return b
+
+                cached = Renderer._accel_cache.get(key)
+                if cached is None:
+                    bvh = build_static(tri_np, opq_np)
+                    # opaque/alpha partition for the any-hit emulation
+                    # loops: the re-trace rounds then walk a tree over
+                    # only the non-opaque subset (docs/perf_budget.md)
+                    split = None
+                    if bvh is not None and opq_np.any() and (~opq_np).any():
+                        sel_o = np.nonzero(opq_np)[0].astype(np.int32)
+                        sel_a = np.nonzero(~opq_np)[0].astype(np.int32)
+                        bvh_o = build_static(tri_np[sel_o], opq_np[sel_o])
+                        bvh_a = build_static(tri_np[sel_a], opq_np[sel_a])
+                        # a failed subset build is only acceptable where
+                        # the brute fallback stays cheap
+                        ok = ((bvh_o is not None or len(sel_o) <= 4096)
+                              and (bvh_a is not None or len(sel_a) <= 4096))
+                        if ok:
+                            from pt.render.integrator import AlphaSplit
+                            split = AlphaSplit(
+                                bvh_o, jnp.asarray(tri_np[sel_o]),
+                                jnp.asarray(sel_o),
+                                bvh_a, jnp.asarray(tri_np[sel_a]),
+                                jnp.asarray(sel_a))
                     if bvh is not None:
-                        Renderer._accel_cache.put(key, bvh)
+                        Renderer._accel_cache.put(key, (bvh, split))
+                    cached = (bvh, split)
+                bvh, split = cached
                 if bvh is not None:
-                    self.accel = base._replace(bvh=bvh)
+                    self.accel = base._replace(bvh=bvh, alpha_split=split)
                 else:
                     self.accel = _prepare_jit(self.ds, self.settings)
             else:
                 self.accel = _prepare_jit(self.ds, self.settings)
+                # the brute oracle follows the same split semantics as the
+                # production path (the split resolves deep alpha stacks the
+                # way the reference's TerminateOnFirstHit hardware loop
+                # does), so pallas-vs-brute MSE measures traversal alone
+                static = (self.scene is not None
+                          and not self.scene.has_animated_instances
+                          and not self.scene.has_skinned_geometry)
+                if (self.settings.backend == "brute" and static
+                        and bool(self.ds.has_alpha)):
+                    from pt.render.integrator import make_alpha_split_brute
+                    split = make_alpha_split_brute(self.ds)
+                    if split is not None:
+                        self.accel = self.accel._replace(alpha_split=split)
         self._accel_dirty = False
 
     def render(self, samples: Optional[int] = None) -> int:
