@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--bounces", type=int, default=5)
     r.add_argument("--frames", type=int, default=1,
                    help=">1 renders an animation (mp4 or numbered frames)")
+    r.add_argument("--camera", type=int, default=0,
+                   help="scene camera index (≙ the Settings-tab camera "
+                        "list)")
     r.add_argument("--framerate", type=float, default=30.0)
     r.add_argument("--format", default=None,
                    choices=[None, "png", "jpg", "tga", "hdr", "mp4"])
@@ -162,6 +165,7 @@ def cmd_render(args) -> int:
         print(f"\rframe {frame + 1}/{total}  {samples}/{args.spp} spp",
               end="", file=sys.stderr)
 
+    app.renderer.camera_index = args.camera
     frames = app.render_offline(rs, settings, post, progress)
     print(f"\nwrote {frames} frame(s) to {args.out}", file=sys.stderr)
     app.shutdown()

@@ -230,6 +230,9 @@ class Renderer:
         self.rays_total = None            # () i32 device counter
         self.adaptive = AdaptiveSampleController(min_refresh_rate,
                                                  max_samples_per_frame)
+        # active camera in scene.cameras (≙ the Settings-tab camera radio
+        # list, UserInterface.cpp:1230-1243)
+        self.camera_index = 0
         self._px = self._py = None
         self._accel_dirty = True
         self._compaction_plan = None
@@ -484,7 +487,9 @@ class Renderer:
             raise RuntimeError("scene or film not initialized")
         self._poll_textures()
         self._ensure_accel()
-        cam = self.scene.cameras[0]
+        cams = self.scene.cameras
+        cam = cams[self.camera_index if 0 <= self.camera_index < len(cams)
+                   else 0]
         cam.on_resize(self.width, self.height)
         inv_view = jnp.asarray(cam.inv_view, jnp.float32)
         inv_proj = jnp.asarray(cam.inv_proj, jnp.float32)

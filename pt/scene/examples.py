@@ -450,6 +450,11 @@ def _make_courtyard():
     return make_courtyard_scene()
 
 
+def _make_courtyard_flythrough():
+    from pt.scene.standin import make_courtyard_flythrough_scene
+    return make_courtyard_flythrough_scene()
+
+
 TEST_SCENES: Dict[str, Callable[[], Scene]] = {
     "Default": make_default_scene,
     "MetallicRoughness Cubes": make_metallic_roughness_cubes_scene,
@@ -457,4 +462,5 @@ TEST_SCENES: Dict[str, Callable[[], Scene]] = {
     "Heightfield": make_heightfield_scene,
     "Reuse Mesh": make_reuse_mesh_scene,
     "Courtyard": _make_courtyard,
+    "Courtyard Flythrough": _make_courtyard_flythrough,
 }

@@ -133,6 +133,11 @@ class SceneManager:
             from pt.scene.standin import create_courtyard_scene
             create_courtyard_scene(builder)
         group["Courtyard"] = CustomSceneLoader(_courtyard)
+
+        def _courtyard_flythrough(builder):
+            from pt.scene.standin import create_courtyard_flythrough_scene
+            create_courtyard_flythrough_scene(builder)
+        group["Courtyard Flythrough"] = CustomSceneLoader(_courtyard_flythrough)
         self.discover_khronos_scenes()
         from pt.scene.catalog import add_high_quality_scenes
         add_high_quality_scenes(self)

@@ -368,3 +368,53 @@ def make_courtyard_scene(detail: float = 1.0) -> Scene:
     b = SceneBuilder("Courtyard")
     create_courtyard_scene(b, detail)
     return b.create_scene()
+
+
+class _DeferredOrbitCamera:
+    """Placeholder resolved by Scene: rigidly attached to the orbit node
+    (same contract as the importer's node cameras, pt/scene/gltf.py)."""
+
+    def __init__(self, node_index):
+        self.node_index = node_index
+
+    def resolve(self, graph):
+        from pt.core.camera import AnimatedCamera
+        return AnimatedCamera(55.0, 200.0, 0.1,
+                              (-12.0, 2.2, 0.0), (1.0, 0.08, 0.12),
+                              (0.0, 1.0, 0.0),
+                              lambda: graph.current[self.node_index])
+
+
+def create_courtyard_flythrough_scene(b: SceneBuilder,
+                                      detail: float = 1.0) -> None:
+    """Courtyard with a keyframed orbiting camera: a node at the court
+    center rotates about +Y (quaternion keys, slerp) carrying a
+    node-attached AnimatedCamera — the AnimatedCamera + offline-video
+    path on the flagship scene (≙ the reference's camera-path MP4 flow,
+    OutputSaver + AnimatedCamera). One full orbit = 4 s (96 ticks @ 24)."""
+    from pt.scene.graph import Animation, AnimationNode, KeySequence
+    create_courtyard_scene(b, detail)
+    orbit = b.add_scene_node(0, np.eye(4))
+    angles = np.linspace(0.0, 2.0 * np.pi, 9)
+    quats = np.stack([np.cos(angles / 2), np.zeros_like(angles),
+                      np.sin(angles / 2), np.zeros_like(angles)], -1)
+    b.add_animation(Animation(nodes=[AnimationNode(
+        scene_node_index=orbit,
+        positions=KeySequence(ticks=np.asarray([0.0]),
+                              values=np.asarray([[0.0, 0.0, 0.0]])),
+        rotations=KeySequence(ticks=np.linspace(0.0, 96.0, 9),
+                              values=quats, is_rotation=True),
+        scales=KeySequence(ticks=np.asarray([0.0]),
+                           values=np.asarray([[1.0, 1.0, 1.0]])))],
+        ticks_per_second=24.0, duration=96.0))
+    b.add_camera(_DeferredOrbitCamera(orbit))
+    # the orbit camera is this scene's point: make it cameras[0] (the
+    # static InputCamera from create_courtyard_scene stays selectable via
+    # camera_index / --camera)
+    b.cameras.insert(0, b.cameras.pop())
+
+
+def make_courtyard_flythrough_scene(detail: float = 1.0) -> Scene:
+    b = SceneBuilder("Courtyard Flythrough")
+    create_courtyard_flythrough_scene(b, detail)
+    return b.create_scene()

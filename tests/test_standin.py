@@ -98,3 +98,65 @@ class TestGlbRoundTrip:
         np.testing.assert_allclose(w1.min(0), w2.min(0), atol=1e-3)
         np.testing.assert_allclose(w1.max(0), w2.max(0), atol=1e-3)
         np.testing.assert_allclose(w1.mean(0), w2.mean(0), atol=1e-3)
+
+
+class TestFlythrough:
+    """Orbiting AnimatedCamera variant (camera-path video scene)."""
+
+    def test_orbit_kinematics(self):
+        from pt.scene.standin import make_courtyard_flythrough_scene
+        s = make_courtyard_flythrough_scene(detail=0.25)
+        cam = s.cameras[0]
+        s.update(0.0)
+        p0 = cam.position.copy()
+        s.update(1.0); s.update(0.0)       # camera reads last tick's node
+        p1 = cam.position.copy()
+        assert not np.allclose(p0, p1)
+        # rigid orbit: radius and height preserved
+        r0 = np.linalg.norm(p0[[0, 2]])
+        r1 = np.linalg.norm(p1[[0, 2]])
+        np.testing.assert_allclose(r0, r1, atol=1e-6)
+        np.testing.assert_allclose(p0[1], p1[1], atol=1e-9)
+        # geometry stays static: camera node carries no instances
+        assert not s.has_animated_instances
+
+    def test_frames_differ(self):
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.renderer import Renderer
+        from pt.scene.standin import make_courtyard_flythrough_scene
+        s = make_courtyard_flythrough_scene(detail=0.25)
+        r = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
+                                         backend="bvh"))
+        r.set_scene(s, stream_textures=False)
+        r.on_resize(32, 32)
+        s.update(0.0)
+        r.render(1)
+        img0 = r.snapshot()
+        s.update(1.0); s.update(0.0)
+        r.update_scene_data(scene_changed=True)
+        r.render(1)
+        img1 = r.snapshot()
+        assert np.isfinite(img0).all() and np.isfinite(img1).all()
+        assert np.abs(img1 - img0).max() > 1e-3
+
+    def test_camera_index_selects_static_camera(self):
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.renderer import Renderer
+        from pt.scene.standin import (make_courtyard_flythrough_scene,
+                                      make_courtyard_scene)
+        s = make_courtyard_flythrough_scene(detail=0.25)
+        assert len(s.cameras) == 2
+        r = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
+                                         backend="bvh"))
+        r.set_scene(s, stream_textures=False)
+        r.on_resize(32, 32)
+        r.camera_index = 1                  # the static InputCamera
+        r.render(1)
+        img_static = r.snapshot()
+        base = make_courtyard_scene(detail=0.25)
+        rb = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
+                                          backend="bvh"))
+        rb.set_scene(base, stream_textures=False)
+        rb.on_resize(32, 32)
+        rb.render(1)
+        np.testing.assert_allclose(img_static, rb.snapshot(), atol=1e-6)
