@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "deleted on success")
     r.add_argument("--hdr", action="store_true",
                    help="HDR10 PQ output encoding")
+    r.add_argument("--adaptive", type=float, default=None, metavar="TOL",
+                   help="noise-driven per-pixel stopping: pixels stop "
+                        "sampling once their 95%% CI (tonemapped) is below "
+                        "TOL; --spp becomes the per-pixel cap")
 
     d = sub.add_parser("debug", help="debug visualization render")
     d.add_argument("--scene", default="Test Scenes/Default")
@@ -159,7 +163,7 @@ def cmd_render(args) -> int:
         output=OutputInfo(args.out, width, height, args.framerate, fmt),
         frame_count=args.frames, max_sample_count=args.spp,
         max_time_seconds=args.max_time, hdr=args.hdr,
-        checkpoint_path=args.checkpoint)
+        checkpoint_path=args.checkpoint, adaptive_tol=args.adaptive)
 
     def progress(frame, total, samples):
         print(f"\rframe {frame + 1}/{total}  {samples}/{args.spp} spp",

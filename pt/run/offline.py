@@ -37,6 +37,11 @@ class RenderSettings:
     # checkpoint is resumed with the exact RNG stream, deleted on success
     checkpoint_path: Optional[str] = None     # frame_count == 1 only
     checkpoint_interval_seconds: float = 300.0
+    # noise-driven per-pixel stopping (render_adaptive): pixels stop at a
+    # 95% CI below this tonemapped tolerance instead of running the full
+    # max_sample_count everywhere. None = uniform accumulation. Runs as
+    # one budgeted call per frame (no periodic checkpoint/cancel inside).
+    adaptive_tol: Optional[float] = None
 
 
 class OfflineRenderer:
@@ -85,27 +90,37 @@ class OfflineRenderer:
                             r.reset_accumulation()
                 start = time.perf_counter()
                 last_ckpt = start
-                while not self._cancelled:
-                    r.render(settings.samples_per_step)
+                if settings.adaptive_tol is not None:
+                    r.render_adaptive(
+                        tol=settings.adaptive_tol,
+                        max_spp=settings.max_sample_count,
+                        min_spp=min(16, settings.max_sample_count))
                     if progress:
-                        progress(frame, settings.frame_count, r.total_samples)
-                    if r.total_samples >= settings.max_sample_count:
-                        break
-                    now = time.perf_counter()
-                    if (settings.max_time_seconds is not None
-                            and now - start >= settings.max_time_seconds):
-                        break
-                    if ckpt and (now - last_ckpt
-                                 >= settings.checkpoint_interval_seconds):
-                        r.save_checkpoint(ckpt)
-                        last_ckpt = now
+                        progress(frame, settings.frame_count,
+                                 r.total_samples)
+                else:
+                    while not self._cancelled:
+                        r.render(settings.samples_per_step)
+                        if progress:
+                            progress(frame, settings.frame_count,
+                                     r.total_samples)
+                        if r.total_samples >= settings.max_sample_count:
+                            break
+                        now = time.perf_counter()
+                        if (settings.max_time_seconds is not None
+                                and now - start
+                                >= settings.max_time_seconds):
+                            break
+                        if ckpt and (now - last_ckpt
+                                     >= settings.checkpoint_interval_seconds):
+                            r.save_checkpoint(ckpt)
+                            last_ckpt = now
                 if self._cancelled:
                     break
                 # save through the post stack; HDR output keeps linear
                 # radiance for .hdr files
                 if out.format == "hdr":
-                    import numpy as np
-                    image = np.asarray(r.accum) / max(r.total_samples, 1)
+                    image = r.film_mean()
                 else:
                     image = r.snapshot(hdr=settings.hdr)
                 self.saver.submit_frame(image)

@@ -77,6 +77,25 @@ def _accumulate_jit(carry: BounceCarry, accum, rays_total, film_perm):
     return flat.reshape(accum.shape), rays_total + carry.rays
 
 
+_LUM = np.array([0.2126, 0.7152, 0.0722], np.float32)
+
+
+@jax.jit
+def _accumulate_adaptive_jit(carry: BounceCarry, accum, accum_sq, rays_total,
+                             perm_sub, weight):
+    """Adaptive-film accumulate: scatter ONE sample per lane into the film
+    plus its luminance second moment (drives the per-pixel stderr stopping
+    rule in render_adaptive). Lanes added to pad the active set up to a
+    power-of-two size class carry weight 0 so padding never touches the
+    film."""
+    from pt.render.integrator import _finite_or_zero
+    rad = _finite_or_zero(carry.radiance) * weight[:, None]
+    flat = accum.reshape(-1, 3).at[perm_sub].add(rad)
+    lum = rad @ jnp.asarray(_LUM)
+    sq = accum_sq.at[perm_sub].add(lum * lum)
+    return flat.reshape(accum.shape), sq, rays_total + carry.rays
+
+
 def _tile_order(width: int, height: int, tile: int = 32) -> np.ndarray:
     """Pixel visit order grouping 32x32 tiles: each 1024-ray packet then
     covers a compact square tile instead of a thin full-width scanline
@@ -234,6 +253,11 @@ class Renderer:
         # list, UserInterface.cpp:1230-1243)
         self.camera_index = 0
         self._px = self._py = None
+        self._order_np = None
+        # adaptive-film state (render_adaptive): per-pixel sample counts
+        # (film order, host) + luminance second moments (film order, device)
+        self._spp_map = None
+        self._accum_sq = None
         self._accel_dirty = True
         self._compaction_plan = None
         self._plan_age = 0
@@ -307,6 +331,7 @@ class Renderer:
         ys, xs = np.meshgrid(np.arange(height, dtype=np.uint32),
                              np.arange(width, dtype=np.uint32), indexing="ij")
         order = _tile_order(width, height)
+        self._order_np = order
         self._px = jnp.asarray(xs.reshape(-1)[order])
         self._py = jnp.asarray(ys.reshape(-1)[order])
         self._film_perm = jnp.asarray(order.astype(np.int32))
@@ -357,6 +382,8 @@ class Renderer:
         self.rays_total = jnp.zeros((), jnp.int32)
         self._compaction_plan = None
         self._plan_age = 0
+        self._spp_map = None
+        self._accum_sq = None
 
     # -- adaptive controller (≙ Renderer::OnUpdate) ------------------------
     def on_update(self, dt: float) -> None:
@@ -485,14 +512,12 @@ class Renderer:
         Renderer.cpp:1659-1809, without the swapchain parts)."""
         if self.ds is None or not self.width:
             raise RuntimeError("scene or film not initialized")
+        if self._spp_map is not None:
+            # uniform stepping cannot continue a per-pixel-count film
+            self.reset_accumulation()
         self._poll_textures()
         self._ensure_accel()
-        cams = self.scene.cameras
-        cam = cams[self.camera_index if 0 <= self.camera_index < len(cams)
-                   else 0]
-        cam.on_resize(self.width, self.height)
-        inv_view = jnp.asarray(cam.inv_view, jnp.float32)
-        inv_proj = jnp.asarray(cam.inv_proj, jnp.float32)
+        inv_view, inv_proj = self._camera_mats()
 
         samples = samples if samples is not None else self.settings.sample_count
         with Timer("Render"):
@@ -562,6 +587,200 @@ class Renderer:
         Stats.add_stat("Total Samples", self.total_samples)
         return self.total_samples
 
+    def _camera_mats(self):
+        cams = self.scene.cameras
+        cam = cams[self.camera_index if 0 <= self.camera_index < len(cams)
+                   else 0]
+        cam.on_resize(self.width, self.height)
+        return (jnp.asarray(cam.inv_view, jnp.float32),
+                jnp.asarray(cam.inv_proj, jnp.float32))
+
+    def render_adaptive(self, tol: float = 5e-3, max_spp: int = 1024,
+                        min_spp: int = 32, check_every: int = 8,
+                        target_mse: Optional[float] = None) -> dict:
+        """Noise-driven per-pixel progressive refinement: each pixel keeps
+        sampling until the 95% CI of its TONEMAPPED luminance drops below
+        `tol`. An upgrade over the reference, whose progressive
+        accumulation always samples the full film (Renderer.cpp:1694-1700).
+
+        Allocation strategy (sample redistribution, NOT wavefront
+        shrinking): every dispatch stays full-film-sized — one compiled
+        size class, zero padding waste — and its lanes are dealt to the
+        pixels with the largest sample DEFICIT (the CI-derived need
+        (1.96*sigma/tol)^2 minus the samples already taken), proportional
+        largest-remainder allocation. A noisy pixel may occupy many lanes
+        of one dispatch; its duplicates carry consecutive per-pixel frame
+        counters, so every sample continues the exact RNG stream that
+        repeated render(1) calls would produce — uniform and adaptive
+        films are sample-for-sample comparable (and identical at tol=0).
+        `check_every` caps the dispatches issued per allocation round
+        (one host moment-fetch per round). The film mean stays correct
+        per pixel (accum/count); the stopping rule observes the estimator
+        it stops, the standard (negligible) adaptive-sampling caveat.
+
+        `target_mse` switches the stopping rule from per-pixel CIs to the
+        GLOBAL tonemapped-MSE contract (BASELINE.json): sampling stops
+        when the estimated film MSE mean(var_p/n_p) drops below it, and
+        lanes are allocated toward the MSE-optimal profile n_p ~ sigma_p
+        (vs the CI rule's sigma_p^2) — strictly fewer total samples for
+        the same global MSE by Cauchy-Schwarz, at the cost of per-pixel
+        error uniformity. `tol` is ignored when target_mse is set.
+
+        Returns {"spp_min", "spp_max", "spp_mean", "steps"} where steps
+        counts full-film-sized dispatches.
+        """
+        if self.mesh is not None:
+            raise NotImplementedError("adaptive film is single-device; "
+                                      "shard the film instead")
+        if self.ds is None or not self.width:
+            raise RuntimeError("scene or film not initialized")
+        self._poll_textures()
+        self._ensure_accel()
+        inv_view, inv_proj = self._camera_mats()
+        n_full = self.width * self.height
+        disp_n = _size_class(n_full)          # lanes per dispatch
+        if self._spp_map is None:
+            if self.total_samples:
+                # adaptive stats can't be reconstructed for a uniform film
+                self.reset_accumulation()
+            self._spp_map = np.zeros(n_full, np.int64)
+            self._accum_sq = jnp.zeros((n_full,), jnp.float32)
+        film_perm_np = self._order_np.astype(np.int64)
+        lane_of_film = np.argsort(film_perm_np)
+        px_np = np.asarray(self._px)
+        py_np = np.asarray(self._py)
+        steps = 0
+        expo = float(self.post.exposure)
+        lum_w = jnp.asarray(_LUM)
+        with Timer("Render"):
+            while True:
+                # ---- allocation round: ONE host moment fetch ----------
+                counts = np.maximum(self._spp_map, 1)
+                mean_lum = np.asarray(
+                    self.accum.reshape(-1, 3) @ lum_w) / counts
+                var = np.maximum(
+                    np.asarray(self._accum_sq) / counts
+                    - mean_lum * mean_lum, 0.0)
+                # tonemap-space stddev: d(1-exp(-e*c))/dc = e*exp(-e*c)
+                sd_tm = np.sqrt(var) * expo * np.exp(-expo * mean_lum)
+                if target_mse is not None:
+                    var_tm = sd_tm * sd_tm
+                    warm = (self._spp_map >= min_spp).all()
+                    if warm and float(np.mean(
+                            var_tm / counts)) < target_mse:
+                        break
+                    # MSE-optimal allocation: n_p ~ sigma_p scaled so that
+                    # mean(var_p/n_p) == target_mse at completion
+                    need = np.ceil(sd_tm * sd_tm.sum()
+                                   / (target_mse * n_full))
+                elif tol > 0:
+                    need = np.ceil((1.96 * sd_tm / tol) ** 2)
+                else:
+                    need = np.full(n_full, float(max_spp))
+                need = np.maximum(need, float(min_spp))
+                deficit = np.clip(need - self._spp_map, 0,
+                                  max_spp - self._spp_map).astype(np.int64)
+                total_deficit = int(deficit.sum())
+                if total_deficit == 0:
+                    break
+                n_disp = int(min(check_every,
+                                 max(1, -(-total_deficit // n_full))))
+                budget = min(total_deficit, n_disp * n_full)
+                # largest-remainder proportional allocation, sum == budget
+                alloc = (deficit * budget) // total_deficit
+                rem = budget - int(alloc.sum())
+                while rem > 0:
+                    frac = deficit * budget - alloc * total_deficit
+                    frac[alloc >= deficit] = -1
+                    bump = np.argsort(-frac, kind="stable")[:rem]
+                    bump = bump[frac[bump] >= 0]
+                    if len(bump) == 0:
+                        break
+                    alloc[bump] += 1
+                    rem -= len(bump)
+                # ---- build the dispatch stream, repetition-major ------
+                base = self._spp_map.copy()
+                pix_parts, frm_parts = [], []
+                for rep in range(int(alloc.max())):
+                    sel = np.flatnonzero(alloc > rep)
+                    pix_parts.append(sel)
+                    frm_parts.append(base[sel] + rep)
+                pix = np.concatenate(pix_parts)
+                frm = np.concatenate(frm_parts)
+                for off in range(0, len(pix), disp_n):
+                    cp = pix[off:off + disp_n]
+                    cf = frm[off:off + disp_n]
+                    w = np.ones(len(cp), np.float32)
+                    padn = disp_n - len(cp)
+                    if padn:
+                        cp = np.concatenate([cp, np.zeros(padn, np.int64)])
+                        cf = np.concatenate([cf, np.zeros(padn, np.int64)])
+                        w = np.concatenate([w, np.zeros(padn, np.float32)])
+                    lanes = lane_of_film[cp]
+                    # lane order keeps 32x32 film tiles contiguous per
+                    # 1024-ray packet (coherence; see _tile_order)
+                    order = np.argsort(lanes, kind="stable")
+                    lanes, cp, cf, w = (lanes[order], cp[order],
+                                        cf[order], w[order])
+                    pxs = jnp.asarray(px_np[lanes])
+                    pys = jnp.asarray(py_np[lanes])
+                    perm_sub = jnp.asarray(cp.astype(np.int32))
+                    w_d = jnp.asarray(w)
+                    state = _init_state_jit(
+                        pxs, pys, self.width,
+                        jnp.asarray(cf.astype(np.uint32)))
+                    carry = _raygen_jit(pxs, pys, self.width, self.height,
+                                        inv_view, inv_proj, state,
+                                        self.settings)
+                    full = carry
+                    perm = None
+                    cur_n = disp_n
+                    plan = self._compaction_plan
+                    # re-observe on every round's first dispatch: adaptive
+                    # rounds concentrate the noisiest pixels, whose paths
+                    # live longer — a stale plan would truncate them
+                    alive_obs = [] if (plan is None or off == 0) else None
+                    for bounce in range(self.settings.bounce_count):
+                        carry, alive_count = _bounce_jit(
+                            self.ds, self.tex, self.accel, carry,
+                            self.settings, bounce > 0)
+                        if alive_obs is not None:
+                            alive_obs.append(alive_count)
+                        kk = (plan[bounce]
+                              if plan and bounce < len(plan) else None)
+                        if (kk is not None and kk <= cur_n // 2
+                                and bounce < self.settings.bounce_count - 1):
+                            if perm is not None:
+                                full = _scatter_jit(full, carry, perm)
+                            else:
+                                full = carry
+                            carry, perm = _compact_jit(full, kk)
+                            cur_n = kk
+                    if perm is not None:
+                        full = _scatter_jit(full, carry, perm)
+                    else:
+                        full = carry
+                    (self.accum, self._accum_sq,
+                     self.rays_total) = _accumulate_adaptive_jit(
+                        full, self.accum, self._accum_sq, self.rays_total,
+                        perm_sub, w_d)
+                    if alive_obs is not None:
+                        obs = np.asarray(jnp.stack(alive_obs))
+                        self._compaction_plan = [
+                            _size_class(int(1.35 * c)) if c > 0 else 1024
+                            for c in obs]
+                        self._plan_age = 0
+                    steps += 1
+                self._spp_map += alloc
+        self.total_samples = int(self._spp_map.max())
+        Stats.add_stat("Total Samples", self.total_samples)
+        Stats.add_stat("Adaptive Mean SPP",
+                       float(self._spp_map.mean()))
+        return {"spp_min": int(self._spp_map.min()),
+                "spp_max": int(self._spp_map.max()),
+                "spp_mean": float(self._spp_map.mean()),
+                "steps": steps}
+
     def _render_sharded(self, samples: int, inv_view, inv_proj) -> None:
         """Multi-chip film-row render: each sample is seeded by a distinct
         frame counter (decorrelated streams; intra-frame stream
@@ -618,8 +837,23 @@ class Renderer:
             self._plan_age += 1
         self.accum = accum_flat.reshape(self.accum.shape)
 
+    def film_mean(self) -> np.ndarray:
+        """Linear per-pixel mean radiance (host); handles the adaptive
+        film's per-pixel sample counts."""
+        if self._spp_map is not None:
+            counts = np.maximum(self._spp_map, 1).astype(np.float32)
+            return np.asarray(self.accum) / counts.reshape(
+                self.height, self.width, 1)
+        return np.asarray(self.accum) / max(self.total_samples, 1)
+
     def snapshot(self, hdr: bool = False) -> np.ndarray:
         """Resolve the film through the post stack → float image (host)."""
+        if self._spp_map is not None:
+            # adaptive film: per-pixel sample counts
+            counts = np.maximum(self._spp_map, 1).astype(np.float32)
+            mean = self.accum / jnp.asarray(
+                counts.reshape(self.height, self.width, 1))
+            return np.asarray(postprocess(mean, 1.0, self.post, hdr))
         out = postprocess(self.accum, float(max(self.total_samples, 1)),
                           self.post, hdr)
         return np.asarray(out)
@@ -633,11 +867,15 @@ class Renderer:
     def save_checkpoint(self, path: str) -> None:
         """Persist the accumulation film + counters; a resumed render
         continues the exact RNG stream (seeding is (pixel, total_samples))."""
+        extra = {}
+        if self._spp_map is not None:
+            extra = dict(spp_map=self._spp_map,
+                         accum_sq=np.asarray(self._accum_sq))
         np.savez(path,
                  accum=np.asarray(self.accum),
                  total_samples=self.total_samples,
                  rays_total=int(self.rays_total),
-                 width=self.width, height=self.height)
+                 width=self.width, height=self.height, **extra)
 
     def load_checkpoint(self, path: str) -> None:
         data = np.load(path)
@@ -646,3 +884,9 @@ class Renderer:
         self.accum = jnp.asarray(data["accum"])
         self.total_samples = int(data["total_samples"])
         self.rays_total = jnp.asarray(int(data["rays_total"]), jnp.int32)
+        if "spp_map" in data:
+            self._spp_map = data["spp_map"]
+            self._accum_sq = jnp.asarray(data["accum_sq"])
+        else:
+            self._spp_map = None
+            self._accum_sq = None
