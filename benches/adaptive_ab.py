@@ -44,20 +44,37 @@ def main():
     ap.add_argument("--ref-spp", type=int, default=1024)
     ap.add_argument("--uniform-spp", type=int, default=128)
     ap.add_argument("--bounces", type=int, default=5)
-    ap.add_argument("--tols", type=float, nargs="+",
+    ap.add_argument("--tols", type=float, nargs="*",
                     default=[0.06, 0.04])
+    ap.add_argument("--ref-cache", default="/tmp/adaptive_ab_ref.npz",
+                    help="reference-film cache (keyed by size/spp inside)")
+    ap.add_argument("--scene", default="courtyard",
+                    choices=["courtyard", "heightfield"])
     ap.add_argument("--target-mses", type=float, nargs="+",
                     default=[8.5e-4, 7e-4])
     args = ap.parse_args()
     SET = PathTracingSettings(sample_count=4, bounce_count=args.bounces,
                               backend="pallas")
-    scene = make_courtyard_scene()
+    if args.scene == "heightfield":
+        from pt.scene.examples import make_heightfield_scene
+        scene = make_heightfield_scene()
+    else:
+        scene = make_courtyard_scene()
 
-    # reference film (deep uniform accumulation)
-    r = _fresh(scene, args.size)
-    while r.total_samples < args.ref_spp:
-        r.render()
-    ref = r.snapshot()
+    # reference film (deep uniform accumulation), cached across runs
+    key = f"{args.scene}_{args.size}_{args.ref_spp}_{args.bounces}"
+    ref = None
+    if args.ref_cache and os.path.exists(args.ref_cache):
+        data = np.load(args.ref_cache)
+        if "key" in data and str(data["key"]) == key:
+            ref = data["ref"]
+    if ref is None:
+        r = _fresh(scene, args.size)
+        while r.total_samples < args.ref_spp:
+            r.render()
+        ref = r.snapshot()
+        if args.ref_cache:
+            np.savez(args.ref_cache, ref=ref, key=key)
     print(f"reference: {args.ref_spp} spp uniform", flush=True)
 
     # uniform arm (second run timed; first warms every jit)

@@ -597,7 +597,8 @@ class Renderer:
 
     def render_adaptive(self, tol: float = 5e-3, max_spp: int = 1024,
                         min_spp: int = 32, check_every: int = 8,
-                        target_mse: Optional[float] = None) -> dict:
+                        target_mse: Optional[float] = None,
+                        pool: int = 4) -> dict:
         """Noise-driven per-pixel progressive refinement: each pixel keeps
         sampling until the 95% CI of its TONEMAPPED luminance drops below
         `tol`. An upgrade over the reference, whose progressive
@@ -625,6 +626,13 @@ class Renderer:
         (vs the CI rule's sigma_p^2) — strictly fewer total samples for
         the same global MSE by Cauchy-Schwarz, at the cost of per-pixel
         error uniformity. `tol` is ignored when target_mse is set.
+
+        Per-pixel sample variance at low counts HASN'T SEEN the rare
+        bright paths yet and understates the true error (the classic
+        adaptive-sampling firefly trap), so the noise level sigma_p used
+        for stopping/allocation is pooled over `pool` x `pool` film tiles
+        (per-pixel means stay exact; only the deviation energy pools —
+        ~pool^2 x the degrees of freedom per estimate). pool=1 disables.
 
         Returns {"spp_min", "spp_max", "spp_mean", "steps"} where steps
         counts full-film-sized dispatches.
@@ -656,11 +664,24 @@ class Renderer:
             while True:
                 # ---- allocation round: ONE host moment fetch ----------
                 counts = np.maximum(self._spp_map, 1)
-                mean_lum = np.asarray(
-                    self.accum.reshape(-1, 3) @ lum_w) / counts
-                var = np.maximum(
-                    np.asarray(self._accum_sq) / counts
-                    - mean_lum * mean_lum, 0.0)
+                s1 = np.asarray(self.accum.reshape(-1, 3) @ lum_w)
+                sq = np.asarray(self._accum_sq)
+                mean_lum = s1 / counts
+                if (pool > 1 and self.height % pool == 0
+                        and self.width % pool == 0):
+                    # tile-pooled per-sample variance (film is row-major)
+                    within = np.maximum(sq - s1 * mean_lum, 0.0)
+                    hh, ww = self.height // pool, self.width // pool
+                    w4 = within.reshape(hh, pool, ww, pool).sum((1, 3))
+                    n4 = self._spp_map.reshape(
+                        hh, pool, ww, pool).sum((1, 3))
+                    dof = np.maximum(n4 - pool * pool, 1)
+                    var = np.broadcast_to(
+                        (w4 / dof)[:, None, :, None],
+                        (hh, pool, ww, pool)).reshape(-1)
+                else:
+                    var = np.maximum(sq / counts - mean_lum * mean_lum,
+                                     0.0)
                 # tonemap-space stddev: d(1-exp(-e*c))/dc = e*exp(-e*c)
                 sd_tm = np.sqrt(var) * expo * np.exp(-expo * mean_lum)
                 if target_mse is not None:
