@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="noise-driven per-pixel stopping: pixels stop "
                         "sampling once their 95%% CI (tonemapped) is below "
                         "TOL; --spp becomes the per-pixel cap")
+    r.add_argument("--adaptive-mse", type=float, default=None, metavar="MSE",
+                   help="stop at an estimated global tonemapped-MSE "
+                        "target instead of per-pixel CIs (the BASELINE "
+                        "contract metric); overrides --adaptive")
 
     d = sub.add_parser("debug", help="debug visualization render")
     d.add_argument("--scene", default="Test Scenes/Default")
@@ -163,7 +167,8 @@ def cmd_render(args) -> int:
         output=OutputInfo(args.out, width, height, args.framerate, fmt),
         frame_count=args.frames, max_sample_count=args.spp,
         max_time_seconds=args.max_time, hdr=args.hdr,
-        checkpoint_path=args.checkpoint, adaptive_tol=args.adaptive)
+        checkpoint_path=args.checkpoint, adaptive_tol=args.adaptive,
+        adaptive_target_mse=args.adaptive_mse)
 
     def progress(frame, total, samples):
         print(f"\rframe {frame + 1}/{total}  {samples}/{args.spp} spp",

@@ -42,6 +42,9 @@ class RenderSettings:
     # max_sample_count everywhere. None = uniform accumulation. Runs as
     # one budgeted call per frame (no periodic checkpoint/cancel inside).
     adaptive_tol: Optional[float] = None
+    # global-MSE stopping instead (render_adaptive target_mse); wins over
+    # adaptive_tol when both are set
+    adaptive_target_mse: Optional[float] = None
 
 
 class OfflineRenderer:
@@ -90,9 +93,11 @@ class OfflineRenderer:
                             r.reset_accumulation()
                 start = time.perf_counter()
                 last_ckpt = start
-                if settings.adaptive_tol is not None:
+                if (settings.adaptive_tol is not None
+                        or settings.adaptive_target_mse is not None):
                     r.render_adaptive(
-                        tol=settings.adaptive_tol,
+                        tol=settings.adaptive_tol or 5e-3,
+                        target_mse=settings.adaptive_target_mse,
                         max_spp=settings.max_sample_count,
                         min_spp=min(16, settings.max_sample_count))
                     if progress:
