@@ -190,6 +190,29 @@ class _ShardedStages:
                 jnp.sum(out.alive.astype(jnp.int32)), axis), rays_delta
 
         @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(lane, lane, P(), P(), lane),
+                           out_specs=cspec, check_vma=False)
+        def raygen_adaptive_stage(px, py, inv_view, inv_proj, frames):
+            # per-lane frame counters: each pixel continues its own
+            # render(1)-compatible stream regardless of which shard/lane
+            # it lands on this dispatch
+            state = init_rng_state(px, py, width, frames)
+            state, o, d, diff = raygen(px, py, width, height,
+                                       inv_view, inv_proj, state, settings)
+            return start_carry(state, o, d, diff)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
+                           in_specs=(cspec, lane, lane, lane, lane),
+                           out_specs=(lane, lane), check_vma=False)
+        def accumulate_adaptive_stage(carry, accum_flat, sq_flat,
+                                      film_perm, weight):
+            from pt.render.integrator import _finite_or_zero
+            rad = _finite_or_zero(carry.radiance) * weight[:, None]
+            acc = accum_flat.at[film_perm].add(rad)
+            lum = rad @ jnp.asarray(_LUM)
+            return acc, sq_flat.at[film_perm].add(lum * lum)
+
+        @functools.partial(jax.shard_map, mesh=mesh,
                            in_specs=(cspec, lane, lane),
                            out_specs=lane, check_vma=False)
         def accumulate_stage(carry, accum_flat, film_perm):
@@ -215,8 +238,10 @@ class _ShardedStages:
             return _scatter_jit(full, sub, perm)
 
         self.raygen = jax.jit(raygen_stage)
+        self.raygen_adaptive = jax.jit(raygen_adaptive_stage)
         self.bounce = jax.jit(bounce_stage)
         self.accumulate = jax.jit(accumulate_stage)
+        self.accumulate_adaptive = jax.jit(accumulate_adaptive_stage)
         self.scatter = jax.jit(scatter_stage)
         self._compact_cache = {}
         self.compact = lambda k: self._compact_cache.setdefault(
@@ -349,6 +374,7 @@ class Renderer:
             band_order = _tile_order(width, band_h)
             full_order = np.concatenate(
                 [band_order + b * band_h * width for b in range(n_dev)])
+            self._order_np = full_order
             sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
             self._px = jax.device_put(
                 jnp.asarray(xs.reshape(-1)[full_order]), sh)
@@ -595,6 +621,47 @@ class Renderer:
         return (jnp.asarray(cam.inv_view, jnp.float32),
                 jnp.asarray(cam.inv_proj, jnp.float32))
 
+    def _adaptive_deficit(self, tol, target_mse, pool, min_spp, max_spp,
+                          expo):
+        """One host moment fetch -> per-pixel sample deficit (film order),
+        or None when the stopping rule is satisfied. Shared by the
+        single-device and sharded adaptive loops."""
+        n_full = self.width * self.height
+        counts = np.maximum(self._spp_map, 1)
+        s1 = np.asarray(self.accum.reshape(-1, 3) @ jnp.asarray(_LUM))
+        sq = np.asarray(self._accum_sq)
+        mean_lum = s1 / counts
+        if (pool > 1 and self.height % pool == 0
+                and self.width % pool == 0):
+            # tile-pooled per-sample variance (film is row-major)
+            within = np.maximum(sq - s1 * mean_lum, 0.0)
+            hh, ww = self.height // pool, self.width // pool
+            w4 = within.reshape(hh, pool, ww, pool).sum((1, 3))
+            n4 = self._spp_map.reshape(hh, pool, ww, pool).sum((1, 3))
+            dof = np.maximum(n4 - pool * pool, 1)
+            var = np.broadcast_to(
+                (w4 / dof)[:, None, :, None],
+                (hh, pool, ww, pool)).reshape(-1)
+        else:
+            var = np.maximum(sq / counts - mean_lum * mean_lum, 0.0)
+        # tonemap-space stddev: d(1-exp(-e*c))/dc = e*exp(-e*c)
+        sd_tm = np.sqrt(var) * expo * np.exp(-expo * mean_lum)
+        if target_mse is not None:
+            var_tm = sd_tm * sd_tm
+            warm = (self._spp_map >= min_spp).all()
+            if warm and float(np.mean(var_tm / counts)) < target_mse:
+                return None
+            # MSE-optimal allocation: n_p ~ sigma_p scaled so that
+            # mean(var_p/n_p) == target_mse at completion
+            need = np.ceil(sd_tm * sd_tm.sum() / (target_mse * n_full))
+        elif tol > 0:
+            need = np.ceil((1.96 * sd_tm / tol) ** 2)
+        else:
+            need = np.full(n_full, float(max_spp))
+        need = np.maximum(need, float(min_spp))
+        return np.clip(need - self._spp_map, 0,
+                       max_spp - self._spp_map).astype(np.int64)
+
     def render_adaptive(self, tol: float = 5e-3, max_spp: int = 1024,
                         min_spp: int = 32, check_every: int = 8,
                         target_mse: Optional[float] = None,
@@ -638,8 +705,9 @@ class Renderer:
         counts full-film-sized dispatches.
         """
         if self.mesh is not None:
-            raise NotImplementedError("adaptive film is single-device; "
-                                      "shard the film instead")
+            return self._render_adaptive_sharded(tol, max_spp, min_spp,
+                                                 check_every, target_mse,
+                                                 pool)
         if self.ds is None or not self.width:
             raise RuntimeError("scene or film not initialized")
         self._poll_textures()
@@ -659,48 +727,13 @@ class Renderer:
         py_np = np.asarray(self._py)
         steps = 0
         expo = float(self.post.exposure)
-        lum_w = jnp.asarray(_LUM)
         with Timer("Render"):
             while True:
                 # ---- allocation round: ONE host moment fetch ----------
-                counts = np.maximum(self._spp_map, 1)
-                s1 = np.asarray(self.accum.reshape(-1, 3) @ lum_w)
-                sq = np.asarray(self._accum_sq)
-                mean_lum = s1 / counts
-                if (pool > 1 and self.height % pool == 0
-                        and self.width % pool == 0):
-                    # tile-pooled per-sample variance (film is row-major)
-                    within = np.maximum(sq - s1 * mean_lum, 0.0)
-                    hh, ww = self.height // pool, self.width // pool
-                    w4 = within.reshape(hh, pool, ww, pool).sum((1, 3))
-                    n4 = self._spp_map.reshape(
-                        hh, pool, ww, pool).sum((1, 3))
-                    dof = np.maximum(n4 - pool * pool, 1)
-                    var = np.broadcast_to(
-                        (w4 / dof)[:, None, :, None],
-                        (hh, pool, ww, pool)).reshape(-1)
-                else:
-                    var = np.maximum(sq / counts - mean_lum * mean_lum,
-                                     0.0)
-                # tonemap-space stddev: d(1-exp(-e*c))/dc = e*exp(-e*c)
-                sd_tm = np.sqrt(var) * expo * np.exp(-expo * mean_lum)
-                if target_mse is not None:
-                    var_tm = sd_tm * sd_tm
-                    warm = (self._spp_map >= min_spp).all()
-                    if warm and float(np.mean(
-                            var_tm / counts)) < target_mse:
-                        break
-                    # MSE-optimal allocation: n_p ~ sigma_p scaled so that
-                    # mean(var_p/n_p) == target_mse at completion
-                    need = np.ceil(sd_tm * sd_tm.sum()
-                                   / (target_mse * n_full))
-                elif tol > 0:
-                    need = np.ceil((1.96 * sd_tm / tol) ** 2)
-                else:
-                    need = np.full(n_full, float(max_spp))
-                need = np.maximum(need, float(min_spp))
-                deficit = np.clip(need - self._spp_map, 0,
-                                  max_spp - self._spp_map).astype(np.int64)
+                deficit = self._adaptive_deficit(tol, target_mse, pool,
+                                                 min_spp, max_spp, expo)
+                if deficit is None:
+                    break
                 total_deficit = int(deficit.sum())
                 if total_deficit == 0:
                     break
@@ -797,6 +830,156 @@ class Renderer:
         Stats.add_stat("Total Samples", self.total_samples)
         Stats.add_stat("Adaptive Mean SPP",
                        float(self._spp_map.mean()))
+        return {"spp_min": int(self._spp_map.min()),
+                "spp_max": int(self._spp_map.max()),
+                "spp_mean": float(self._spp_map.mean()),
+                "steps": steps}
+
+    def _render_adaptive_sharded(self, tol, max_spp, min_spp, check_every,
+                                 target_mse, pool) -> dict:
+        """Adaptive film over a device mesh: the film stays band-sharded
+        (pt.dist.film_mesh) and redistribution runs PER BAND — each
+        dispatch is one full film-sized wavefront whose per-shard segment
+        is dealt from that band's own deficits (shard_map needs equal
+        local sizes; bands never exchange lanes). Streams are (pixel,
+        count)-seeded exactly like the single-device loop, so the tol=0
+        film matches the unsharded adaptive film."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.ds is None or not self.width:
+            raise RuntimeError("scene or film not initialized")
+        self._poll_textures()
+        self._ensure_accel()
+        inv_view, inv_proj = self._camera_mats()
+        if self._stages is None:
+            self._stages = _ShardedStages(self.mesh, self.width,
+                                          self.height, self.settings)
+        sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        n_dev = self.mesh.devices.size
+        n_full = self.width * self.height
+        n_local = n_full // n_dev          # == pixels per row band
+        if self._spp_map is None:
+            if self.total_samples:
+                self.reset_accumulation()
+            self._spp_map = np.zeros(n_full, np.int64)
+            self._accum_sq = jax.device_put(
+                jnp.zeros((n_full,), jnp.float32), sh)
+        accum_flat = self.accum.reshape(-1, 3)
+        sq_flat = self._accum_sq
+        film_perm_np = self._order_np.astype(np.int64)
+        lane_of_film = np.argsort(film_perm_np)
+        px_np = np.asarray(self._px)
+        py_np = np.asarray(self._py)
+        steps = 0
+        expo = float(self.post.exposure)
+        with Timer("Render"):
+            while True:
+                self.accum = accum_flat.reshape(self.accum.shape)
+                self._accum_sq = sq_flat
+                deficit = self._adaptive_deficit(tol, target_mse, pool,
+                                                 min_spp, max_spp, expo)
+                if deficit is None or int(deficit.sum()) == 0:
+                    break
+                d_band = deficit.reshape(n_dev, n_local)
+                band_tot = d_band.sum(1)
+                n_disp = int(min(check_every,
+                                 max(1, -(-int(band_tot.max()) // n_local))))
+                alloc = np.zeros(n_full, np.int64)
+                stream_len = n_disp * n_local
+                pix_s = np.empty((n_dev, stream_len), np.int64)
+                frm_s = np.zeros((n_dev, stream_len), np.int64)
+                w_s = np.zeros((n_dev, stream_len), np.float32)
+                for b in range(n_dev):
+                    base_i = b * n_local
+                    pix_s[b] = base_i          # pad default (weight 0)
+                    d_b = d_band[b].copy()
+                    total_b = int(band_tot[b])
+                    if total_b == 0:
+                        continue
+                    budget = min(total_b, stream_len)
+                    a = (d_b * budget) // total_b
+                    rem = budget - int(a.sum())
+                    while rem > 0:
+                        frac = d_b * budget - a * total_b
+                        frac[a >= d_b] = -1
+                        bump = np.argsort(-frac, kind="stable")[:rem]
+                        bump = bump[frac[bump] >= 0]
+                        if len(bump) == 0:
+                            break
+                        a[bump] += 1
+                        rem -= len(bump)
+                    base_counts = self._spp_map[base_i:base_i + n_local]
+                    parts_p, parts_f = [], []
+                    for rep in range(int(a.max())):
+                        sel = np.flatnonzero(a > rep)
+                        parts_p.append(sel + base_i)
+                        parts_f.append(base_counts[sel] + rep)
+                    pix_b = np.concatenate(parts_p)
+                    frm_b = np.concatenate(parts_f)
+                    pix_s[b, :len(pix_b)] = pix_b
+                    frm_s[b, :len(pix_b)] = frm_b
+                    w_s[b, :len(pix_b)] = 1.0
+                    alloc[base_i:base_i + n_local] = a
+                for d in range(n_disp):
+                    seg = slice(d * n_local, (d + 1) * n_local)
+                    cp = pix_s[:, seg]
+                    cf = frm_s[:, seg]
+                    cw = w_s[:, seg]
+                    lanes = lane_of_film[cp]
+                    order = np.argsort(lanes, axis=1, kind="stable")
+                    lanes = np.take_along_axis(lanes, order, 1).reshape(-1)
+                    cp_o = np.take_along_axis(cp, order, 1).reshape(-1)
+                    cf_o = np.take_along_axis(cf, order, 1).reshape(-1)
+                    cw_o = np.take_along_axis(cw, order, 1).reshape(-1)
+                    pxs = jax.device_put(jnp.asarray(px_np[lanes]), sh)
+                    pys = jax.device_put(jnp.asarray(py_np[lanes]), sh)
+                    perm_sub = jax.device_put(
+                        jnp.asarray((cp_o % n_local).astype(np.int32)), sh)
+                    w_d = jax.device_put(jnp.asarray(cw_o), sh)
+                    frames = jax.device_put(
+                        jnp.asarray(cf_o.astype(np.uint32)), sh)
+                    carry = self._stages.raygen_adaptive(
+                        pxs, pys, inv_view, inv_proj, frames)
+                    full = carry
+                    perm = None
+                    cur_n = n_local
+                    plan = self._compaction_plan
+                    alive_obs = [] if (plan is None or d == 0) else None
+                    for bounce in range(self.settings.bounce_count):
+                        carry, alive_max, rays_delta = self._stages.bounce(
+                            self.ds, self.tex, self.accel, carry)
+                        self.rays_total = self.rays_total + rays_delta
+                        if alive_obs is not None:
+                            alive_obs.append(alive_max)
+                        kk = (plan[bounce]
+                              if plan and bounce < len(plan) else None)
+                        if (kk is not None and kk <= cur_n // 2
+                                and bounce < self.settings.bounce_count - 1):
+                            if perm is not None:
+                                full = self._stages.scatter(full, carry,
+                                                            perm)
+                            else:
+                                full = carry
+                            carry, perm = self._stages.compact(kk)(full)
+                            cur_n = kk
+                    if perm is not None:
+                        full = self._stages.scatter(full, carry, perm)
+                    else:
+                        full = carry
+                    accum_flat, sq_flat = self._stages.accumulate_adaptive(
+                        full, accum_flat, sq_flat, perm_sub, w_d)
+                    if alive_obs is not None:
+                        obs = np.asarray(jnp.stack(alive_obs))
+                        self._compaction_plan = [
+                            _size_class(int(1.35 * c)) if c > 0 else 1024
+                            for c in obs]
+                        self._plan_age = 0
+                    steps += 1
+                self._spp_map += alloc
+        self.accum = accum_flat.reshape(self.accum.shape)
+        self._accum_sq = sq_flat
+        self.total_samples = int(self._spp_map.max())
+        Stats.add_stat("Total Samples", self.total_samples)
+        Stats.add_stat("Adaptive Mean SPP", float(self._spp_map.mean()))
         return {"spp_min": int(self._spp_map.min()),
                 "spp_max": int(self._spp_map.max()),
                 "spp_mean": float(self._spp_map.mean()),

@@ -104,6 +104,34 @@ class TestAdaptiveFilm:
         assert n == 1 and os.path.exists(out)
         assert r._spp_map is not None and r._spp_map.min() >= 1
 
+    def test_sharded_matches_single_device(self):
+        """Band-sharded adaptive at tol=0 must reproduce the single-device
+        adaptive film: streams are (pixel, count)-seeded, independent of
+        which shard traces them (8-device CPU mesh; film 16x16 = 32 px
+        per band)."""
+        from pt.dist.mesh import film_mesh
+        ra = _renderer()
+        ra.render_adaptive(tol=0.0, max_spp=4, min_spp=1, check_every=4)
+        rs = Renderer(SET, mesh=film_mesh())
+        rs.set_scene(make_default_scene(), stream_textures=False)
+        rs.on_resize(16, 16)
+        stats = rs.render_adaptive(tol=0.0, max_spp=4, min_spp=1,
+                                   check_every=4)
+        assert stats["spp_min"] == stats["spp_max"] == 4
+        np.testing.assert_allclose(rs.snapshot(), ra.snapshot(), atol=1e-5)
+
+    def test_sharded_target_mse(self):
+        """Global-MSE stopping on the mesh: converges, per-band allocation
+        keeps every pixel at >= min_spp, film finite."""
+        from pt.dist.mesh import film_mesh
+        r = Renderer(SET, mesh=film_mesh())
+        r.set_scene(make_default_scene(), stream_textures=False)
+        r.on_resize(16, 16)
+        stats = r.render_adaptive(target_mse=5e-4, max_spp=32, min_spp=2,
+                                  check_every=4)
+        assert stats["spp_min"] >= 2 and stats["spp_max"] <= 32
+        assert np.isfinite(r.snapshot()).all()
+
     def test_uniform_render_resets_adaptive_film(self):
         """Mixing modes: a uniform render() after an adaptive one restarts
         accumulation rather than corrupting per-pixel statistics."""
