@@ -68,6 +68,20 @@ def measure_spp_rate(scene, width, height, steps=2, spp=1) -> float:
     return steps * spp / dt
 
 
+def measure_adaptive_ttc(scene, width=256, height=256) -> float:
+    """Measured wall time of a global-MSE-targeted adaptive render
+    (render_adaptive target_mse=7e-4 — the point measured at film MSE
+    ~1.0e-3 vs a 1024-spp reference in benches/adaptive_ab.py; 1.14x
+    faster than uniform accumulation to spp*). Second run timed."""
+    renderer = _make(scene, width, height, bounces=5, spp=4)
+    renderer.render_adaptive(target_mse=7e-4, max_spp=512, min_spp=16)
+    renderer.reset_accumulation()
+    t0 = time.perf_counter()
+    renderer.render_adaptive(target_mse=7e-4, max_spp=512, min_spp=16)
+    _ = renderer.rays_traced
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     import pt  # noqa: F401  (configures the persistent compile cache)
     from pt.scene.examples import make_heightfield_scene
@@ -84,6 +98,13 @@ def main() -> None:
     # accumulation at SPP_CONVERGED samples; trajectory in BASELINE.md)
     spp_1080 = measure_spp_rate(make_courtyard_scene(), 1920, 1080)
     spp_256 = measure_spp_rate(make_courtyard_scene(), 256, 256, spp=4)
+    extra = {}
+    try:
+        extra["courtyard_ttc_adaptive_256_s"] = round(
+            measure_adaptive_ttc(make_courtyard_scene()), 1)
+    except Exception:
+        pass                              # rider field only; never break
+
 
     # headline stays the heightfield for cross-round comparability
     # (round 1 measured 2.96 on it); the Sponza-class courtyard (213k
@@ -100,6 +121,7 @@ def main() -> None:
         "courtyard_spp_per_s_1080p": round(spp_1080, 4),
         "courtyard_time_to_converged_256_s": round(SPP_CONVERGED / spp_256,
                                                    1),
+        **extra,
     }))
 
 
