@@ -40,7 +40,9 @@ class RenderSettings:
     # noise-driven per-pixel stopping (render_adaptive): pixels stop at a
     # 95% CI below this tonemapped tolerance instead of running the full
     # max_sample_count everywhere. None = uniform accumulation. Runs as
-    # one budgeted call per frame (no periodic checkpoint/cancel inside).
+    # one budgeted call per frame honoring max_time_seconds at allocation-
+    # round granularity; periodic checkpointing and cancel() cannot
+    # interrupt mid-call (the film stays valid at whatever spp it reached).
     adaptive_tol: Optional[float] = None
     # global-MSE stopping instead (render_adaptive target_mse); wins over
     # adaptive_tol when both are set
@@ -96,10 +98,12 @@ class OfflineRenderer:
                 if (settings.adaptive_tol is not None
                         or settings.adaptive_target_mse is not None):
                     r.render_adaptive(
-                        tol=settings.adaptive_tol or 5e-3,
+                        tol=(5e-3 if settings.adaptive_tol is None
+                             else settings.adaptive_tol),
                         target_mse=settings.adaptive_target_mse,
                         max_spp=settings.max_sample_count,
-                        min_spp=min(16, settings.max_sample_count))
+                        min_spp=min(16, settings.max_sample_count),
+                        max_seconds=settings.max_time_seconds)
                     if progress:
                         progress(frame, settings.frame_count,
                                  r.total_samples)

@@ -96,6 +96,39 @@ def _accumulate_adaptive_jit(carry: BounceCarry, accum, accum_sq, rays_total,
     return flat.reshape(accum.shape), sq, rays_total + carry.rays
 
 
+def _largest_remainder_alloc(deficit: np.ndarray,
+                             budget: int) -> np.ndarray:
+    """Proportional integer allocation: sum(alloc) == budget,
+    alloc <= deficit elementwise (largest-remainder rounding).
+    Requires 0 < budget <= deficit.sum()."""
+    total = int(deficit.sum())
+    alloc = (deficit * budget) // total
+    rem = budget - int(alloc.sum())
+    while rem > 0:
+        frac = deficit * budget - alloc * total
+        frac[alloc >= deficit] = -1
+        bump = np.argsort(-frac, kind="stable")[:rem]
+        bump = bump[frac[bump] >= 0]
+        if len(bump) == 0:
+            break
+        alloc[bump] += 1
+        rem -= len(bump)
+    return alloc
+
+
+def _rep_major_stream(alloc: np.ndarray, base_counts: np.ndarray):
+    """(pixel, frame) dispatch stream, repetition-major: every pixel's
+    rep-0 sample first (film order), then rep-1, ... — a chunk of the
+    stream therefore covers mostly-distinct pixels in film order, and a
+    pixel's duplicates carry consecutive frame counters."""
+    parts_p, parts_f = [], []
+    for rep in range(int(alloc.max())):
+        sel = np.flatnonzero(alloc > rep)
+        parts_p.append(sel)
+        parts_f.append(base_counts[sel] + rep)
+    return np.concatenate(parts_p), np.concatenate(parts_f)
+
+
 def _tile_order(width: int, height: int, tile: int = 32) -> np.ndarray:
     """Pixel visit order grouping 32x32 tiles: each 1024-ray packet then
     covers a compact square tile instead of a thin full-width scanline
@@ -396,6 +429,8 @@ class Renderer:
                settings.bvh_leaf_size != self.settings.bvh_leaf_size:
                 self._accel_dirty = True
             self.settings = settings
+            # sharded stages close over the settings — rebuild lazily
+            self._stages = None
             self.reset_accumulation()
         if post is not None:
             self.post = post
@@ -665,7 +700,8 @@ class Renderer:
     def render_adaptive(self, tol: float = 5e-3, max_spp: int = 1024,
                         min_spp: int = 32, check_every: int = 8,
                         target_mse: Optional[float] = None,
-                        pool: int = 4) -> dict:
+                        pool: int = 4,
+                        max_seconds: Optional[float] = None) -> dict:
         """Noise-driven per-pixel progressive refinement: each pixel keeps
         sampling until the 95% CI of its TONEMAPPED luminance drops below
         `tol`. An upgrade over the reference, whose progressive
@@ -701,13 +737,16 @@ class Renderer:
         (per-pixel means stay exact; only the deviation energy pools —
         ~pool^2 x the degrees of freedom per estimate). pool=1 disables.
 
+        `max_seconds` bounds wall time at allocation-round granularity
+        (the film stays a valid partial render wherever it stops).
+
         Returns {"spp_min", "spp_max", "spp_mean", "steps"} where steps
         counts full-film-sized dispatches.
         """
         if self.mesh is not None:
             return self._render_adaptive_sharded(tol, max_spp, min_spp,
                                                  check_every, target_mse,
-                                                 pool)
+                                                 pool, max_seconds)
         if self.ds is None or not self.width:
             raise RuntimeError("scene or film not initialized")
         self._poll_textures()
@@ -727,8 +766,10 @@ class Renderer:
         py_np = np.asarray(self._py)
         steps = 0
         expo = float(self.post.exposure)
+        deadline = (time.perf_counter() + max_seconds
+                    if max_seconds is not None else None)
         with Timer("Render"):
-            while True:
+            while deadline is None or time.perf_counter() < deadline:
                 # ---- allocation round: ONE host moment fetch ----------
                 deficit = self._adaptive_deficit(tol, target_mse, pool,
                                                  min_spp, max_spp, expo)
@@ -740,27 +781,8 @@ class Renderer:
                 n_disp = int(min(check_every,
                                  max(1, -(-total_deficit // n_full))))
                 budget = min(total_deficit, n_disp * n_full)
-                # largest-remainder proportional allocation, sum == budget
-                alloc = (deficit * budget) // total_deficit
-                rem = budget - int(alloc.sum())
-                while rem > 0:
-                    frac = deficit * budget - alloc * total_deficit
-                    frac[alloc >= deficit] = -1
-                    bump = np.argsort(-frac, kind="stable")[:rem]
-                    bump = bump[frac[bump] >= 0]
-                    if len(bump) == 0:
-                        break
-                    alloc[bump] += 1
-                    rem -= len(bump)
-                # ---- build the dispatch stream, repetition-major ------
-                base = self._spp_map.copy()
-                pix_parts, frm_parts = [], []
-                for rep in range(int(alloc.max())):
-                    sel = np.flatnonzero(alloc > rep)
-                    pix_parts.append(sel)
-                    frm_parts.append(base[sel] + rep)
-                pix = np.concatenate(pix_parts)
-                frm = np.concatenate(frm_parts)
+                alloc = _largest_remainder_alloc(deficit, budget)
+                pix, frm = _rep_major_stream(alloc, self._spp_map)
                 for off in range(0, len(pix), disp_n):
                     cp = pix[off:off + disp_n]
                     cf = frm[off:off + disp_n]
@@ -836,7 +858,8 @@ class Renderer:
                 "steps": steps}
 
     def _render_adaptive_sharded(self, tol, max_spp, min_spp, check_every,
-                                 target_mse, pool) -> dict:
+                                 target_mse, pool,
+                                 max_seconds=None) -> dict:
         """Adaptive film over a device mesh: the film stays band-sharded
         (pt.dist.film_mesh) and redistribution runs PER BAND — each
         dispatch is one full film-sized wavefront whose per-shard segment
@@ -871,8 +894,10 @@ class Renderer:
         py_np = np.asarray(self._py)
         steps = 0
         expo = float(self.post.exposure)
+        deadline = (time.perf_counter() + max_seconds
+                    if max_seconds is not None else None)
         with Timer("Render"):
-            while True:
+            while deadline is None or time.perf_counter() < deadline:
                 self.accum = accum_flat.reshape(self.accum.shape)
                 self._accum_sq = sq_flat
                 deficit = self._adaptive_deficit(tol, target_mse, pool,
@@ -896,25 +921,10 @@ class Renderer:
                     if total_b == 0:
                         continue
                     budget = min(total_b, stream_len)
-                    a = (d_b * budget) // total_b
-                    rem = budget - int(a.sum())
-                    while rem > 0:
-                        frac = d_b * budget - a * total_b
-                        frac[a >= d_b] = -1
-                        bump = np.argsort(-frac, kind="stable")[:rem]
-                        bump = bump[frac[bump] >= 0]
-                        if len(bump) == 0:
-                            break
-                        a[bump] += 1
-                        rem -= len(bump)
-                    base_counts = self._spp_map[base_i:base_i + n_local]
-                    parts_p, parts_f = [], []
-                    for rep in range(int(a.max())):
-                        sel = np.flatnonzero(a > rep)
-                        parts_p.append(sel + base_i)
-                        parts_f.append(base_counts[sel] + rep)
-                    pix_b = np.concatenate(parts_p)
-                    frm_b = np.concatenate(parts_f)
+                    a = _largest_remainder_alloc(d_b, budget)
+                    pix_b, frm_b = _rep_major_stream(
+                        a, self._spp_map[base_i:base_i + n_local])
+                    pix_b = pix_b + base_i
                     pix_s[b, :len(pix_b)] = pix_b
                     frm_s[b, :len(pix_b)] = frm_b
                     w_s[b, :len(pix_b)] = 1.0

@@ -132,6 +132,18 @@ class TestAdaptiveFilm:
         assert stats["spp_min"] >= 2 and stats["spp_max"] <= 32
         assert np.isfinite(r.snapshot()).all()
 
+    def test_max_seconds_deadline(self):
+        """max_seconds bounds wall time at round granularity; an expired
+        deadline leaves a valid (possibly empty) film."""
+        r = _renderer()
+        stats = r.render_adaptive(tol=0.0, max_spp=64, min_spp=1,
+                                  check_every=1, max_seconds=0.0)
+        assert stats["steps"] == 0 and stats["spp_max"] == 0
+        stats = r.render_adaptive(tol=0.0, max_spp=4, min_spp=1,
+                                  check_every=4, max_seconds=1e9)
+        assert stats["spp_min"] == 4
+        assert np.isfinite(r.snapshot()).all()
+
     def test_uniform_render_resets_adaptive_film(self):
         """Mixing modes: a uniform render() after an adaptive one restarts
         accumulation rather than corrupting per-pixel statistics."""
