@@ -87,10 +87,19 @@ class Application:
     # -- interactive-ish loop --------------------------------------------
     def run(self, duration_seconds: float = 1.0,
             on_frame: Optional[Callable[[np.ndarray, int], None]] = None,
-            target_frames: Optional[int] = None) -> int:
+            target_frames: Optional[int] = None,
+            adaptive_tol: Optional[float] = None,
+            adaptive_frame_seconds: float = 0.25) -> int:
         """Progressive loop (≙ Application::Run): scene update → renderer
         update → one accumulation step; `on_frame(snapshot, total_samples)`
-        is the swapchain-present stand-in. Returns frames looped."""
+        is the swapchain-present stand-in. Returns frames looped.
+
+        `adaptive_tol` switches the accumulation step to the adaptive film
+        (render_adaptive) with `adaptive_frame_seconds` of refinement per
+        frame: noisy pixels keep sampling, converged ones stop, and a
+        fully-converged view idles instead of burning samples. Camera or
+        scene changes reset the per-pixel statistics like any other
+        accumulation reset."""
         self._running = True
         frames = 0
         start = time.perf_counter()
@@ -111,7 +120,17 @@ class Application:
                         self.renderer.reset_accumulation()
                 self.renderer.on_update(dt)
                 with Timer("Render"):
-                    self.renderer.render()
+                    if adaptive_tol is not None:
+                        stats = self.renderer.render_adaptive(
+                            tol=adaptive_tol,
+                            max_seconds=adaptive_frame_seconds,
+                            min_spp=4, check_every=1)
+                        if stats["steps"] == 0:
+                            # fully converged view: idle instead of
+                            # re-checking moments in a busy loop
+                            time.sleep(0.05)
+                    else:
+                        self.renderer.render()
                 if on_frame is not None:
                     on_frame(self.renderer.snapshot(), self.renderer.total_samples)
             Stats.flush_timers()

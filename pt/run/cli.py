@@ -104,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--port", type=int, default=8000)
     v.add_argument("--duration", type=float, default=1e30,
                    help="stop after this many seconds (default: run forever)")
+    v.add_argument("--adaptive", type=float, default=None, metavar="TOL",
+                   help="adaptive progressive refinement: converged pixels "
+                        "stop sampling; a fully-converged still view idles")
     return p
 
 
@@ -227,7 +230,8 @@ def cmd_view(args) -> int:
     app = _load_app(args, width, height)
     app.renderer.set_settings(PathTracingSettings(
         sample_count=1, bounce_count=args.bounces, backend=args.backend))
-    run_viewer(app, args.host, args.port, duration_seconds=args.duration)
+    run_viewer(app, args.host, args.port, duration_seconds=args.duration,
+               adaptive_tol=args.adaptive)
     app.shutdown()
     return 0
 

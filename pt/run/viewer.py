@@ -323,7 +323,8 @@ def apply_settings(app, data: dict) -> None:
 
 
 def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
-               duration_seconds: float = 1e30, show_hud: bool = True) -> int:
+               duration_seconds: float = 1e30, show_hud: bool = True,
+               adaptive_tol=None) -> int:
     """Drive Application.run with frames streaming to the browser and
     browser input driving the fly camera. Blocks until interrupted."""
 
@@ -405,7 +406,8 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
             "size": [app.renderer.width, app.renderer.height]})
 
     try:
-        return app.run(duration_seconds=duration_seconds, on_frame=on_frame)
+        return app.run(duration_seconds=duration_seconds, on_frame=on_frame,
+                       adaptive_tol=adaptive_tol)
     except KeyboardInterrupt:
         return 0
     finally:

@@ -144,6 +144,25 @@ class TestViewerServer:
         assert frames >= 1
         assert not np.array_equal(cam.position, p0)  # camera flew forward
 
+    def test_run_viewer_adaptive_refinement(self):
+        """`pt view --adaptive`: the loop refines through the adaptive
+        film (per-pixel counts populate); a camera move resets them."""
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.app import Application
+        from pt.run.viewer import run_viewer
+
+        app = Application()
+        app.init(width=32, height=32)
+        app.renderer.set_settings(PathTracingSettings(
+            sample_count=1, bounce_count=2, backend="brute"))
+        frames = run_viewer(app, port=0, duration_seconds=0.5,
+                            adaptive_tol=0.1)
+        assert frames >= 1
+        r = app.renderer
+        assert r._spp_map is not None and r._spp_map.min() >= 1
+        r.reset_accumulation()
+        assert r._spp_map is None          # move/reset clears the film
+
 
 class TestSceneSwitch:
     def test_scene_endpoints(self):
