@@ -22,6 +22,42 @@ def _renderer(size=16):
     return r
 
 
+class TestAllocHelpers:
+    """Invariants of the shared redistribution helpers (they feed both the
+    single-device and per-band sharded loops — drift breaks tol=0
+    cross-topology equality)."""
+
+    def test_largest_remainder_properties(self):
+        from pt.run.renderer import _largest_remainder_alloc
+        rng = np.random.default_rng(7)
+        for _ in range(50):
+            n = int(rng.integers(1, 40))
+            deficit = rng.integers(0, 100, n).astype(np.int64)
+            total = int(deficit.sum())
+            if total == 0:
+                continue
+            budget = int(rng.integers(1, total + 1))
+            alloc = _largest_remainder_alloc(deficit.copy(), budget)
+            assert int(alloc.sum()) == budget
+            assert (alloc <= deficit).all() and (alloc >= 0).all()
+            # proportionality: never off by more than 1 from the real share
+            share = deficit * budget / total
+            assert (np.abs(alloc - share) <= 1.0 + 1e-9).all()
+
+    def test_rep_major_stream(self):
+        from pt.run.renderer import _rep_major_stream
+        alloc = np.array([2, 0, 3, 1], np.int64)
+        base = np.array([5, 9, 0, 7], np.int64)
+        pix, frm = _rep_major_stream(alloc, base)
+        # rep-major: rep0 pixels first (0,2,3), then rep1 (0,2), rep2 (2)
+        np.testing.assert_array_equal(pix, [0, 2, 3, 0, 2, 2])
+        np.testing.assert_array_equal(frm, [5, 0, 7, 6, 1, 2])
+        # every pixel's frames are its own consecutive stream continuation
+        for p in range(4):
+            np.testing.assert_array_equal(
+                np.sort(frm[pix == p]), base[p] + np.arange(alloc[p]))
+
+
 class TestAdaptiveFilm:
     def test_tol_zero_matches_uniform(self):
         """tol=0 never converges → every pixel gets exactly max_spp samples
