@@ -104,6 +104,7 @@ def _read_props(buf: memoryview, pos: int, count: int) -> Tuple[list, int]:
 
 def _read_node(buf: memoryview, pos: int,
                wide: bool) -> Tuple[Optional[FbxNode], int]:
+    start = pos
     if wide:
         end, nprops, _plen = struct.unpack_from("<QQQ", buf, pos)
         pos += 24
@@ -114,6 +115,13 @@ def _read_node(buf: memoryview, pos: int,
     pos += 1
     if end == 0 and nprops == 0 and name_len == 0:
         return None, pos          # null record (child-list terminator)
+    # `end` is the absolute offset one past this record. A malformed file
+    # whose end points at or before the record start would rewind the
+    # caller's scan loop (`while pos < end` / the top-level loop) into an
+    # infinite re-parse cycle — reject instead of spinning.
+    if end <= start or end > len(buf):
+        raise ValueError(
+            f"FBX record at {start} has invalid end offset {end}")
     name = bytes(buf[pos:pos + name_len]).decode("ascii", errors="replace")
     pos += name_len
     props, pos = _read_props(buf, pos, nprops)

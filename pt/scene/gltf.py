@@ -100,6 +100,10 @@ class GLTFFile:
         ncomp = _TYPE_COUNTS[acc["type"]]
         dtype = _COMPONENT_DTYPES[acc["componentType"]]
         itemsize = np.dtype(dtype).itemsize * ncomp
+        # guard against allocation bombs from corrupt/hostile counts: a
+        # zero-filled or sparse accessor has no backing buffer to bound it
+        if count < 0 or count * itemsize > 2 ** 31:
+            raise ValueError(f"accessor {index}: implausible count {count}")
 
         if "bufferView" in acc:
             bv = self.json["bufferViews"][acc["bufferView"]]
