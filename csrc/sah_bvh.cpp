@@ -220,6 +220,15 @@ AABB clip_tri_slab(const float *v0, const float *v1, const float *v2,
     for (int pass = 0; pass < 2; ++pass) {
         float plane = pass == 0 ? lo : hi;
         float sign = pass == 0 ? 1.0f : -1.0f;
+        // a plane that keeps every vertex leaves the polygon unchanged
+        // (every point copied in order, no crossings) — skip the rebuild
+        bool all_kept = true;
+        for (int i = 0; i < n; ++i)
+            if (sign * (poly[i][axis] - plane) < 0.0f) {
+                all_kept = false;
+                break;
+            }
+        if (all_kept) continue;
         int m = 0;
         for (int i = 0; i < n; ++i) {
             const float *a = poly[i];
@@ -251,6 +260,51 @@ AABB clip_tri_slab(const float *v0, const float *v1, const float *v2,
     return out;
 }
 
+// Convex polygon buffer for the sweep-split spatial binner. A triangle
+// split by up to kNumBins-1 parallel planes gains at most one vertex per
+// split.
+struct Poly {
+    float p[3 + kNumBins][3];
+    int n = 0;
+};
+
+// Split `in` by the plane x[axis] = plane into the `below` piece
+// (x <= plane) and the `above` remainder (x >= plane). Points on the
+// plane land in both (harmless for bounds growing).
+void split_poly(const Poly &in, int axis, float plane,
+                Poly &below, Poly &above) {
+    below.n = 0;
+    above.n = 0;
+    for (int i = 0; i < in.n; ++i) {
+        const float *a = in.p[i];
+        const float *b = in.p[(i + 1) % in.n];
+        float da = a[axis] - plane;
+        float db = b[axis] - plane;
+        if (da <= 0.0f) std::memcpy(below.p[below.n++], a, sizeof(float) * 3);
+        if (da >= 0.0f) std::memcpy(above.p[above.n++], a, sizeof(float) * 3);
+        if ((da < 0.0f && db > 0.0f) || (da > 0.0f && db < 0.0f)) {
+            float f = da / (da - db);
+            float *lo_pt = below.p[below.n++];
+            for (int k = 0; k < 3; ++k) lo_pt[k] = a[k] + f * (b[k] - a[k]);
+            std::memcpy(above.p[above.n++], lo_pt, sizeof(float) * 3);
+        }
+    }
+}
+
+// Grow `box` by the bounds of `piece` intersected with `within`
+// (the reference's carried box — same clamp semantics as clip_tri_slab).
+void grow_by_piece(AABB &box, const Poly &piece, const AABB &within) {
+    if (piece.n == 0) return;
+    AABB out;
+    for (int i = 0; i < piece.n; ++i) out.grow_point(piece.p[i]);
+    for (int a = 0; a < 3; ++a) {
+        out.lo[a] = std::max(out.lo[a], within.lo[a]);
+        out.hi[a] = std::min(out.hi[a], within.hi[a]);
+        if (out.lo[a] > out.hi[a]) return;
+    }
+    box.grow(out);
+}
+
 struct SBuilder {
     const float *v0;
     const float *v1;
@@ -258,7 +312,9 @@ struct SBuilder {
     int max_leaf;
     float root_area = 0.0f;
     long long dup_budget = 0;   // extra references allowed
-    static constexpr float kAlpha = 1e-5f;  // overlap gate for spatial tries
+    float alpha = 1e-5f;        // overlap gate for spatial tries (Stich's
+                                // recommendation; raise to trade tree
+                                // quality for build speed)
 
     std::vector<int> order;        // tri id per reference, leaves contiguous
     std::vector<float> node_lo;
@@ -370,7 +426,7 @@ struct SBuilder {
                 ov.hi[a] = std::min(obj_l_box.hi[a], obj_r_box.hi[a]);
                 if (ov.lo[a] > ov.hi[a]) { try_spatial = false; break; }
             }
-            if (try_spatial && ov.half_area() <= kAlpha * root_area)
+            if (try_spatial && ov.half_area() <= alpha * root_area)
                 try_spatial = false;
         }
         if (try_spatial) {
@@ -393,14 +449,28 @@ struct SBuilder {
                     if (b0 == b1) {
                         bin_box[b0].grow(r.box);
                     } else {
-                        for (int b = b0; b <= b1; ++b) {
-                            float blo = bounds.lo[axis] + b * ext / kNumBins;
+                        // sweep-split (Stich 2009 §4.2): walk the bin
+                        // planes left to right, splitting a carried
+                        // polygon once per plane — instead of re-clipping
+                        // the full triangle twice per crossed bin (was
+                        // 85% of the whole build in the courtyard
+                        // profile, 23.8M clip calls)
+                        Poly cur;
+                        cur.n = 3;
+                        for (int a = 0; a < 3; ++a) {
+                            cur.p[0][a] = v0[3 * r.tri + a];
+                            cur.p[1][a] = v1[3 * r.tri + a];
+                            cur.p[2][a] = v2[3 * r.tri + a];
+                        }
+                        Poly piece, carry;
+                        for (int b = b0; b < b1 && cur.n; ++b) {
                             float bhi = bounds.lo[axis]
                                       + (b + 1) * ext / kNumBins;
-                            AABB c = clip_tri_slab(v0, v1, v2, r.tri, axis,
-                                                   blo, bhi, r.box);
-                            if (c.lo[0] <= c.hi[0]) bin_box[b].grow(c);
+                            split_poly(cur, axis, bhi, piece, carry);
+                            grow_by_piece(bin_box[b], piece, r.box);
+                            cur = carry;
                         }
+                        grow_by_piece(bin_box[b1], cur, r.box);
                     }
                 }
                 AABB racc[kNumBins];
@@ -581,7 +651,7 @@ int pt_build_sbvh(const float *v0, const float *v1, const float *v2,
                   int num_tris, int max_leaf, int max_refs,
                   int *out_order, float *out_node_lo, float *out_node_hi,
                   int *out_miss, int *out_leaf_start, int *out_leaf_count,
-                  int *out_num_refs) {
+                  int *out_num_refs, float alpha) {
     if (num_tris <= 0 || max_refs < num_tris) return 0;
     SBuilder b;
     b.v0 = v0;
@@ -589,6 +659,7 @@ int pt_build_sbvh(const float *v0, const float *v1, const float *v2,
     b.v2 = v2;
     b.max_leaf = std::max(1, max_leaf);
     b.dup_budget = max_refs - num_tris;
+    b.alpha = alpha;
 
     std::vector<Ref> refs(num_tris);
     AABB root;

@@ -59,7 +59,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pt_build_sbvh.restype = ctypes.c_int
         lib.pt_build_sbvh.argtypes = [f32p, f32p, f32p, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int, i32p,
-                                      f32p, f32p, i32p, i32p, i32p, i32p]
+                                      f32p, f32p, i32p, i32p, i32p, i32p,
+                                      ctypes.c_float]
         _lib_handle = lib
         return lib
 
@@ -107,12 +108,16 @@ def build_sah(tri_lo: np.ndarray, tri_hi: np.ndarray, centroids: np.ndarray,
 
 def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                max_leaf: int,
-               ref_budget: float = 1.75) -> Optional[Tuple[np.ndarray, ...]]:
+               ref_budget: float = 1.75,
+               alpha: float = 1e-5) -> Optional[Tuple[np.ndarray, ...]]:
     """Run the native SBVH build (binned SAH + spatial splits, Stich et
     al. 2009). Triangles may be referenced by several leaves with clipped
     bounds, so `order` is a reference list (len ≥ T) rather than a
     permutation. Inputs are (T, 3) float32 vertex arrays; `ref_budget`
-    caps total references at budget·T. Returns (order, node_lo, node_hi,
+    caps total references at budget·T; `alpha` is the Stich overlap gate
+    (spatial splits are tried only when the object split's children
+    overlap by more than alpha·root_area — raise it to trade tree quality
+    for build speed). Returns (order, node_lo, node_hi,
     miss, leaf_start, leaf_count) in threaded preorder, or None when the
     native library is unavailable.
     """
@@ -140,7 +145,8 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     n = lib.pt_build_sbvh(as_f(v0), as_f(v1), as_f(v2), t, max_leaf,
                           max_refs, as_i(order), as_f(node_lo),
                           as_f(node_hi), as_i(miss), as_i(leaf_start),
-                          as_i(leaf_count), as_i(nrefs))
+                          as_i(leaf_count), as_i(nrefs),
+                          ctypes.c_float(alpha))
     if n <= 0:
         return None
     return (order[:int(nrefs[0])], node_lo[:n], node_hi[:n], miss[:n],

@@ -139,3 +139,22 @@ def test_sbvh_packet_build():
     assert set(np.unique(valid).tolist()) == set(range(t_count))
     assert (np.asarray(pbvh.top_lo[0]) <= wpos.min(0) + 1e-3).all()
     assert (np.asarray(pbvh.top_hi[0]) >= wpos.max(0) - 1e-3).all()
+
+
+def test_sbvh_alpha_gate():
+    """alpha=1 disables every spatial try (no node overlap exceeds
+    root_area), so no reference is duplicated — and the tree still
+    resolves the same closest hits."""
+    v0, v1, v2 = _soup(600, seed=3)
+    res = build_sbvh(v0, v1, v2, 16, alpha=1.0)
+    order = res[0]
+    assert len(order) == 600                      # refs == T, no dups
+    rng = np.random.default_rng(11)
+    o = rng.uniform(-2, 12, (32, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (32, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tb_brute, _ = _brute_closest(v0, v1, v2, o, d)
+    tb_tree, _ = _tree_closest(res, v0, v1, v2, o, d)
+    hit = np.isfinite(tb_brute)
+    assert (np.isfinite(tb_tree) == hit).all()
+    np.testing.assert_allclose(tb_tree[hit], tb_brute[hit], rtol=1e-4)
