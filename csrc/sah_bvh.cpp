@@ -54,6 +54,8 @@ struct Builder {
     const float *tri_hi;
     const float *centroid;
     int max_leaf;
+    int max_nodes = 0;     // >0: abort once the node count exceeds this
+    bool aborted = false;  // (the caller will retry at a coarser block)
     float block_cost;      // effective per-leaf-visit cost (the packet
                            // kernel tests a full block per visit, so a
                            // leaf costs ~block regardless of fill)
@@ -77,6 +79,7 @@ struct Builder {
 
     // emits the subtree over order[first, first+count); returns node index
     int build(int first, int count) {
+        if (aborted) return 0;
         AABB bounds, cbounds;
         for (int i = first; i < first + count; ++i) {
             bounds.grow(tri_box(order[i]));
@@ -90,6 +93,10 @@ struct Builder {
         leaf_start.push_back(-1);
         leaf_count.push_back(0);
         subtree.push_back(1);
+        if (max_nodes > 0 && static_cast<int>(leaf_start.size()) > max_nodes) {
+            aborted = true;   // already over budget: stop building — the
+            return 0;         // caller retries with a coarser block
+        }
 
         int axis = 0;
         float extent = -1.0f;
@@ -315,6 +322,8 @@ struct SBuilder {
     float alpha = 1e-5f;        // overlap gate for spatial tries (Stich's
                                 // recommendation; raise to trade tree
                                 // quality for build speed)
+    int max_nodes = 0;          // >0: abort once node count exceeds this
+    bool aborted = false;
 
     std::vector<int> order;        // tri id per reference, leaves contiguous
     std::vector<float> node_lo;
@@ -332,6 +341,7 @@ struct SBuilder {
     }
 
     int build(std::vector<Ref> &refs) {
+        if (aborted) return 0;
         AABB bounds, cbounds;
         for (const Ref &r : refs) {
             bounds.grow(r.box);
@@ -350,6 +360,10 @@ struct SBuilder {
         leaf_start.push_back(-1);
         leaf_count.push_back(0);
         subtree.push_back(1);
+        if (max_nodes > 0 && static_cast<int>(leaf_start.size()) > max_nodes) {
+            aborted = true;
+            return 0;
+        }
 
         // same leafing policy as the object-split builder: a leaf visit
         // costs a full block regardless of fill, so never split below the
@@ -613,13 +627,14 @@ int pt_build_sah_bvh(const float *tri_lo, const float *tri_hi,
                      const float *centroid, int num_tris, int max_leaf,
                      int *out_order, float *out_node_lo, float *out_node_hi,
                      int *out_miss, int *out_leaf_start,
-                     int *out_leaf_count) {
+                     int *out_leaf_count, int max_nodes) {
     if (num_tris <= 0) return 0;
     Builder b;
     b.tri_lo = tri_lo;
     b.tri_hi = tri_hi;
     b.centroid = centroid;
     b.max_leaf = std::max(1, max_leaf);
+    b.max_nodes = max_nodes;
     b.block_cost = static_cast<float>(b.max_leaf);
     b.order.resize(num_tris);
     for (int i = 0; i < num_tris; ++i) b.order[i] = i;
@@ -631,6 +646,7 @@ int pt_build_sah_bvh(const float *tri_lo, const float *tri_hi,
     b.subtree.reserve(reserve);
 
     b.build(0, num_tris);
+    if (b.aborted) return -2;   // node budget exceeded mid-build
 
     int n = static_cast<int>(b.leaf_start.size());
     std::memcpy(out_order, b.order.data(), sizeof(int) * num_tris);
@@ -651,7 +667,7 @@ int pt_build_sbvh(const float *v0, const float *v1, const float *v2,
                   int num_tris, int max_leaf, int max_refs,
                   int *out_order, float *out_node_lo, float *out_node_hi,
                   int *out_miss, int *out_leaf_start, int *out_leaf_count,
-                  int *out_num_refs, float alpha) {
+                  int *out_num_refs, float alpha, int max_nodes) {
     if (num_tris <= 0 || max_refs < num_tris) return 0;
     SBuilder b;
     b.v0 = v0;
@@ -660,6 +676,7 @@ int pt_build_sbvh(const float *v0, const float *v1, const float *v2,
     b.max_leaf = std::max(1, max_leaf);
     b.dup_budget = max_refs - num_tris;
     b.alpha = alpha;
+    b.max_nodes = max_nodes;
 
     std::vector<Ref> refs(num_tris);
     AABB root;
@@ -677,6 +694,7 @@ int pt_build_sbvh(const float *v0, const float *v1, const float *v2,
     b.subtree.reserve(reserve);
 
     b.build(refs);
+    if (b.aborted) return -2;   // node budget exceeded mid-build
 
     int n = static_cast<int>(b.leaf_start.size());
     int nrefs = static_cast<int>(b.order.size());

@@ -55,12 +55,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pt_build_sah_bvh.restype = ctypes.c_int
         lib.pt_build_sah_bvh.argtypes = [f32p, f32p, f32p, ctypes.c_int,
                                          ctypes.c_int, i32p, f32p, f32p,
-                                         i32p, i32p, i32p]
+                                         i32p, i32p, i32p, ctypes.c_int]
         lib.pt_build_sbvh.restype = ctypes.c_int
         lib.pt_build_sbvh.argtypes = [f32p, f32p, f32p, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int, i32p,
                                       f32p, f32p, i32p, i32p, i32p, i32p,
-                                      ctypes.c_float]
+                                      ctypes.c_float, ctypes.c_int]
         _lib_handle = lib
         return lib
 
@@ -69,13 +69,21 @@ def sah_available() -> bool:
     return _load() is not None
 
 
+# Distinct sentinel returned when a build aborts on its node budget
+# (callers retry at a coarser block) — None still means "native builder
+# unavailable".
+OVERFLOW = object()
+
+
 def build_sah(tri_lo: np.ndarray, tri_hi: np.ndarray, centroids: np.ndarray,
-              max_leaf: int) -> Optional[Tuple[np.ndarray, ...]]:
+              max_leaf: int, max_nodes: int = 0):
     """Run the native binned-SAH build.
 
     Inputs are (T, 3) float32 arrays. Returns (order, node_lo, node_hi,
-    miss, leaf_start, leaf_count) in threaded preorder, or None when the
-    native library is unavailable.
+    miss, leaf_start, leaf_count) in threaded preorder, None when the
+    native library is unavailable, or OVERFLOW when `max_nodes` > 0 and
+    the build exceeded it (aborted mid-build — retry a coarser block
+    without paying for the rest of the infeasible tree).
     """
     lib = _load()
     if lib is None:
@@ -99,7 +107,9 @@ def build_sah(tri_lo: np.ndarray, tri_hi: np.ndarray, centroids: np.ndarray,
     n = lib.pt_build_sah_bvh(as_f(tri_lo), as_f(tri_hi), as_f(centroids),
                              t, max_leaf, as_i(order), as_f(node_lo),
                              as_f(node_hi), as_i(miss), as_i(leaf_start),
-                             as_i(leaf_count))
+                             as_i(leaf_count), max_nodes)
+    if n == -2:
+        return OVERFLOW
     if n <= 0:
         return None
     return (order, node_lo[:n], node_hi[:n], miss[:n], leaf_start[:n],
@@ -109,7 +119,8 @@ def build_sah(tri_lo: np.ndarray, tri_hi: np.ndarray, centroids: np.ndarray,
 def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                max_leaf: int,
                ref_budget: float = 1.75,
-               alpha: float = 1e-5) -> Optional[Tuple[np.ndarray, ...]]:
+               alpha: float = 1e-5,
+               max_nodes: int = 0):
     """Run the native SBVH build (binned SAH + spatial splits, Stich et
     al. 2009). Triangles may be referenced by several leaves with clipped
     bounds, so `order` is a reference list (len ≥ T) rather than a
@@ -118,8 +129,9 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     (spatial splits are tried only when the object split's children
     overlap by more than alpha·root_area — raise it to trade tree quality
     for build speed). Returns (order, node_lo, node_hi,
-    miss, leaf_start, leaf_count) in threaded preorder, or None when the
-    native library is unavailable.
+    miss, leaf_start, leaf_count) in threaded preorder, None when the
+    native library is unavailable, or OVERFLOW when `max_nodes` > 0 and
+    the build exceeded it.
     """
     lib = _load()
     if lib is None:
@@ -146,7 +158,9 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                           max_refs, as_i(order), as_f(node_lo),
                           as_f(node_hi), as_i(miss), as_i(leaf_start),
                           as_i(leaf_count), as_i(nrefs),
-                          ctypes.c_float(alpha))
+                          ctypes.c_float(alpha), max_nodes)
+    if n == -2:
+        return OVERFLOW
     if n <= 0:
         return None
     return (order[:int(nrefs[0])], node_lo[:n], node_hi[:n], miss[:n],
