@@ -56,6 +56,14 @@ struct Builder {
     int max_leaf;
     int max_nodes = 0;     // >0: abort once the node count exceeds this
     bool aborted = false;  // (the caller will retry at a coarser block)
+    long long pending_lb = 0;  // provable minimum nodes still owed by
+                               // right-siblings queued on the recursion
+                               // stack (each subtree over R tris needs
+                               // >= 2*ceil(R/max_leaf)-1 nodes)
+
+    long long min_nodes(long long r) const {
+        return 2 * ((r + max_leaf - 1) / max_leaf) - 1;
+    }
     float block_cost;      // effective per-leaf-visit cost (the packet
                            // kernel tests a full block per visit, so a
                            // leaf costs ~block regardless of fill)
@@ -93,9 +101,15 @@ struct Builder {
         leaf_start.push_back(-1);
         leaf_count.push_back(0);
         subtree.push_back(1);
-        if (max_nodes > 0 && static_cast<int>(leaf_start.size()) > max_nodes) {
-            aborted = true;   // already over budget: stop building — the
-            return 0;         // caller retries with a coarser block
+        // provable-infeasibility abort: nodes emitted so far + the
+        // minimum this subtree still needs + the minimum owed by queued
+        // right-siblings already exceeds the budget — the caller will
+        // retry with a coarser block, so stop paying for this tree now
+        if (max_nodes > 0 &&
+            static_cast<long long>(leaf_start.size())
+                + (min_nodes(count) - 1) + pending_lb > max_nodes) {
+            aborted = true;
+            return 0;
         }
 
         int axis = 0;
@@ -178,9 +192,11 @@ struct Builder {
             return node;
         }
 
+        long long lb_right = min_nodes(first + count - mid);
+        pending_lb += lb_right;
         int left = build(first, mid - first);
+        pending_lb -= lb_right;
         int right = build(mid, first + count - mid);
-        (void)left;
         subtree[node] = 1 + subtree[left] + subtree[right];
         return node;
     }
@@ -324,6 +340,11 @@ struct SBuilder {
                                 // quality for build speed)
     int max_nodes = 0;          // >0: abort once node count exceeds this
     bool aborted = false;
+    long long pending_lb = 0;   // minimum nodes owed by queued subtrees
+
+    long long min_nodes(long long r) const {
+        return 2 * ((r + max_leaf - 1) / max_leaf) - 1;
+    }
 
     std::vector<int> order;        // tri id per reference, leaves contiguous
     std::vector<float> node_lo;
@@ -360,7 +381,14 @@ struct SBuilder {
         leaf_start.push_back(-1);
         leaf_count.push_back(0);
         subtree.push_back(1);
-        if (max_nodes > 0 && static_cast<int>(leaf_start.size()) > max_nodes) {
+        // provable-infeasibility abort (references only duplicate, never
+        // merge, so a subtree over R refs needs >= 2*ceil(R/block)-1
+        // nodes): stop as soon as emitted + owed minimums exceed the
+        // budget — the courtyard's infeasible block-32 tree aborts ~20%
+        // in rather than 60%
+        if (max_nodes > 0 &&
+            static_cast<long long>(leaf_start.size())
+                + (min_nodes(count) - 1) + pending_lb > max_nodes) {
             aborted = true;
             return 0;
         }
@@ -528,7 +556,10 @@ struct SBuilder {
             std::vector<Ref> right(refs.begin() + count / 2, refs.end());
             refs.clear();
             refs.shrink_to_fit();
+            long long lb_right = min_nodes(right.size());
+            pending_lb += lb_right;
             int l = build(left);
+            pending_lb -= lb_right;
             int r = build(right);
             subtree[node] = 1 + subtree[l] + subtree[r];
             return node;
@@ -609,7 +640,10 @@ struct SBuilder {
         }
         refs.clear();
         refs.shrink_to_fit();
+        long long lb_right = min_nodes(right.size());
+        pending_lb += lb_right;
         int l = build(left);
+        pending_lb -= lb_right;
         int r = build(right);
         subtree[node] = 1 + subtree[l] + subtree[r];
         return node;
