@@ -158,3 +158,19 @@ def test_sbvh_alpha_gate():
     hit = np.isfinite(tb_brute)
     assert (np.isfinite(tb_tree) == hit).all()
     np.testing.assert_allclose(tb_tree[hit], tb_brute[hit], rtol=1e-4)
+
+
+def test_sbvh_node_budget_abort():
+    """max_nodes: an infeasible budget returns the OVERFLOW sentinel
+    (aborted mid-build), and a feasible budget produces arrays identical
+    to an unbudgeted build."""
+    from pt.accel.native import OVERFLOW
+
+    v0, v1, v2 = _soup(600, seed=5)
+    full = build_sbvh(v0, v1, v2, 16)
+    n_nodes = len(full[3])
+    assert build_sbvh(v0, v1, v2, 16, max_nodes=max(2, n_nodes // 4)) \
+        is OVERFLOW
+    budgeted = build_sbvh(v0, v1, v2, 16, max_nodes=n_nodes)
+    for a, b in zip(full, budgeted):
+        np.testing.assert_array_equal(a, b)
