@@ -119,9 +119,15 @@ struct Builder {
             if (e > extent) { extent = e; axis = a; }
         }
 
-        bool make_leaf = count <= max_leaf || extent <= 1e-12f;
+        bool make_leaf = count <= max_leaf;
         int mid = first;
-        if (!make_leaf) {
+        if (!make_leaf && extent <= 1e-12f) {
+            // all centroids coincide: SAH cannot bin, but an over-full
+            // leaf would exceed the kernel's block capacity (and break
+            // the min-nodes lower bound the abort relies on) — split the
+            // range down the middle; both children carry the same box
+            mid = first + count / 2;
+        } else if (!make_leaf) {
             // binned SAH along the widest centroid axis
             AABB bin_bounds[kNumBins];
             int bin_count[kNumBins] = {0};
@@ -499,12 +505,33 @@ struct SBuilder {
                         // profile, 23.8M clip calls)
                         Poly cur;
                         cur.n = 3;
+                        float pmin = FLT_MAX, pmax = -FLT_MAX;
                         for (int a = 0; a < 3; ++a) {
                             cur.p[0][a] = v0[3 * r.tri + a];
                             cur.p[1][a] = v1[3 * r.tri + a];
                             cur.p[2][a] = v2[3 * r.tri + a];
                         }
+                        for (int i = 0; i < 3; ++i) {
+                            pmin = std::min(pmin, cur.p[i][axis]);
+                            pmax = std::max(pmax, cur.p[i][axis]);
+                        }
                         Poly piece, carry;
+                        // a previously-split (duplicated) reference's box
+                        // can be narrower than its original triangle on
+                        // this axis; trim the polygon to the covered bin
+                        // range first so the extreme bins' boxes stay as
+                        // tight as the per-bin clip they replaced
+                        float blo0 = bounds.lo[axis] + b0 * ext / kNumBins;
+                        float bhi1 = bounds.lo[axis]
+                                   + (b1 + 1) * ext / kNumBins;
+                        if (pmin < blo0) {
+                            split_poly(cur, axis, blo0, piece, carry);
+                            cur = carry;
+                        }
+                        if (pmax > bhi1 && cur.n) {
+                            split_poly(cur, axis, bhi1, piece, carry);
+                            cur = piece;
+                        }
                         for (int b = b0; b < b1 && cur.n; ++b) {
                             float bhi = bounds.lo[axis]
                                       + (b + 1) * ext / kNumBins;

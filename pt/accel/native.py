@@ -128,7 +128,8 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     caps total references at budget·T; `alpha` is the Stich overlap gate
     (spatial splits are tried only when the object split's children
     overlap by more than alpha·root_area — raise it to trade tree quality
-    for build speed). Returns (order, node_lo, node_hi,
+    for build speed; when no valid object split exists at all, degenerate
+    centroid-coincident ranges still try spatial splits ungated). Returns (order, node_lo, node_hi,
     miss, leaf_start, leaf_count) in threaded preorder, None when the
     native library is unavailable, or OVERFLOW when `max_nodes` > 0 and
     the build exceeded it.

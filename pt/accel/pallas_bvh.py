@@ -1235,7 +1235,7 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     boxes around large/thin geometry at the cost of up to
     `ref_budget`·T references.
     """
-    from pt.accel.native import build_sah, build_sbvh
+    from pt.accel.native import OVERFLOW, build_sah, build_sbvh
 
     max_nodes = 2 * (max_leaves or MAX_TOP_LEAVES) - 1
     block = max(32, -(-block // 32) * 32)   # page-group granularity
@@ -1258,8 +1258,6 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     min_feasible = -(-len(tri_idx_np) // max_leaf_budget)
     while block < min_feasible:
         block *= 2
-
-    from pt.accel.native import OVERFLOW
 
     result = None
     while block <= 1024:

@@ -142,9 +142,10 @@ def test_sbvh_packet_build():
 
 
 def test_sbvh_alpha_gate():
-    """alpha=1 disables every spatial try (no node overlap exceeds
-    root_area), so no reference is duplicated — and the tree still
-    resolves the same closest hits."""
+    """alpha=1 disables every alpha-gated spatial try (no node overlap
+    exceeds root_area; only degenerate centroid-coincident ranges, absent
+    here, bypass the gate), so no reference is duplicated — and the tree
+    still resolves the same closest hits."""
     v0, v1, v2 = _soup(600, seed=3)
     res = build_sbvh(v0, v1, v2, 16, alpha=1.0)
     order = res[0]
