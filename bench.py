@@ -104,6 +104,28 @@ def main() -> None:
             measure_adaptive_ttc(make_courtyard_scene()), 1)
     except Exception:
         pass                              # rider field only; never break
+    try:
+        # host-side static accel build (native SBVH + BF8 collapse +
+        # Woop pages; ≙ the reference's blocking BLAS/TLAS build submit,
+        # AccelerationStructure.cpp:26-35) — second run timed, the first
+        # pays the one-time g++ of csrc/sah_bvh.cpp
+        import numpy as np
+
+        from pt.accel.pallas_bvh import build_packet_bvh_sah
+        from pt.scene.flatten import flatten_scene
+        ds = flatten_scene(make_courtyard_scene())
+        pos = np.asarray(ds.obj_positions)
+        rows = np.asarray(ds.tri_idx)
+        opq = np.asarray(ds.tri_opaque)
+        build_packet_bvh_sah(pos, rows, block=32, tri_opaque_np=opq,
+                             spatial=True)
+        t0 = time.perf_counter()
+        build_packet_bvh_sah(pos, rows, block=32, tri_opaque_np=opq,
+                             spatial=True)
+        extra["courtyard_accel_build_s"] = round(time.perf_counter() - t0,
+                                                 2)
+    except Exception:
+        pass                              # rider field only; never break
 
 
     # headline stays the heightfield for cross-round comparability
