@@ -7,7 +7,10 @@ packet kernel's leaf-visit union waste. Host-side surface-area cost says
 SBVH is ~1.17-1.20x cheaper on the courtyard; this measures what the
 kernel actually sees.
 
-Run on a TPU host: `python benches/sbvh_ab.py [courtyard|heightfield]`.
+Run on a TPU host: `python benches/sbvh_ab.py [courtyard|heightfield]
+[alpha]`. The optional third arm builds the SBVH with a raised Stich
+overlap gate (e.g. 1e-3) — fewer spatial tries, faster host build — and
+times it against the default 1e-5 tree to price the quality loss.
 """
 import os
 import sys
@@ -36,11 +39,11 @@ def make_scene(name):
     return make_courtyard_scene(), (-18, 18, 0.2, 8)
 
 
-def build(ds, wpos, spatial):
+def build(ds, wpos, spatial, alpha=1e-5):
     fine = build_packet_bvh_sah(np.asarray(wpos), np.asarray(ds.tri_idx),
                                 block=32, max_leaves=8192,
                                 tri_opaque_np=np.asarray(ds.tri_opaque),
-                                spatial=spatial)
+                                spatial=spatial, alpha=alpha)
     assert fine is not None
     bvh = build_bf8(fine)
     assert bvh is not None, "BF8 collapse failed (SMEM budget)"
@@ -99,6 +102,19 @@ def main():
     # second round to confirm (contention guard)
     timed(sah, "closest BF8/SAH  incoherent (rep)")
     timed(sbvh, "closest BF8/SBVH incoherent (rep)")
+
+    if len(sys.argv) > 2:
+        alpha = float(sys.argv[2])
+        t0 = time.time()
+        gated = build(ds, wpos, spatial=True, alpha=alpha)
+        print(f"SBVH alpha={alpha:g}: build {time.time() - t0:.2f}s; "
+              f"pages {gated.pages.shape}", flush=True)
+        h = trace_closest(gated, None, None, o, d)
+        jax.block_until_ready(h.t)
+        bad = int((np.abs(np.asarray(hb.t) - np.asarray(h.t)[:m])
+                   > 1e-3).sum())
+        print(f"alpha={alpha:g} mismatches vs oracle: {bad}/{m}", flush=True)
+        timed(gated, f"closest BF8/SBVH(alpha={alpha:g}) incoherent")
 
 
 if __name__ == "__main__":

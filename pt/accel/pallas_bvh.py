@@ -1224,7 +1224,8 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
                          max_leaves: int = None,
                          tri_opaque_np=None,
                          spatial: bool = False,
-                         ref_budget: float = 1.75):
+                         ref_budget: float = 1.75,
+                         alpha: float = 1e-5):
     """Host-side build using the native binned-SAH builder
     (csrc/sah_bvh.cpp) — higher-quality trees for static scenes
     (≙ PREFER_FAST_TRACE builds). Returns None when the native library is
@@ -1267,7 +1268,7 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
         # wasted block-32 SBVH was 1.85 s of a 3.3 s total build
         if spatial:
             result = build_sbvh(v0, v1, v2, block, ref_budget,
-                                max_nodes=max_nodes)
+                                alpha=alpha, max_nodes=max_nodes)
         else:
             result = build_sah(tri_lo, tri_hi, centroids, block,
                                max_nodes=max_nodes)
