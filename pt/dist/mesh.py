@@ -64,14 +64,17 @@ def render_image_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis), P(axis)),
+        in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis)),
         out_specs=(P(axis), P()),
         check_vma=False,
     )
-    def shard_render(ds_, tex_, iv, ip, px, py):
+    def shard_render(ds_, tex_, iv, ip, frame_, px, py):
+        # frame is an operand (like the sibling spp/2-D modes), not a
+        # closure constant: progressive callers advance it per step and
+        # must reuse one compiled program
         radiance, rays = render_flat(ds_, tex_, iv, ip,
                                      px.reshape(-1), py.reshape(-1),
-                                     width, height, frame, settings)
+                                     width, height, frame_, settings)
         rows = height // n_dev
         return (radiance.reshape(rows, width, 3),
                 jax.lax.psum(rays, axis))
@@ -80,7 +83,8 @@ def render_image_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
                           jnp.arange(width, dtype=jnp.uint32), indexing="ij")
     return shard_render(ds, tex,
                         jnp.asarray(inv_view, jnp.float32),
-                        jnp.asarray(inv_proj, jnp.float32), xs, ys)
+                        jnp.asarray(inv_proj, jnp.float32),
+                        jnp.asarray(frame, jnp.uint32), xs, ys)
 
 
 def render_spp_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,

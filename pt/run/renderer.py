@@ -208,19 +208,27 @@ class _ShardedStages:
                                        inv_view, inv_proj, state, settings)
             return start_carry(state, o, d, diff)
 
-        @functools.partial(jax.shard_map, mesh=mesh,
-                           in_specs=(P(), P(), P(), cspec),
-                           out_specs=(cspec, P(), P()), check_vma=False)
-        def bounce_stage(ds, tex, accel, carry):
-            out = bounce_once(ds, tex, accel, carry, settings)
-            # carry.rays stays zero in sharded mode; report this bounce's
-            # global ray count separately (one psum per bounce). The
-            # per-shard MAX live count sizes the next step's compaction
-            # classes (shards compact to the same static k).
-            rays_delta = jax.lax.psum(out.rays - carry.rays, axis)
-            out = out._replace(rays=carry.rays)
-            return out, jax.lax.pmax(
-                jnp.sum(out.alive.astype(jnp.int32)), axis), rays_delta
+        def bounce_stage_of(sort_rays: bool):
+            # two variants mirroring _bounce_jit's static sort_rays arg:
+            # the primary bounce is already film-tile coherent, so the
+            # coherence sort must be skipped there (the single-device
+            # path measured sorting bounce 0 as a pure loss)
+            @functools.partial(jax.shard_map, mesh=mesh,
+                               in_specs=(P(), P(), P(), cspec),
+                               out_specs=(cspec, P(), P()), check_vma=False)
+            def bounce_stage(ds, tex, accel, carry):
+                out = bounce_once(ds, tex, accel, carry, settings,
+                                  sort_rays)
+                # carry.rays stays zero in sharded mode; report this
+                # bounce's global ray count separately (one psum per
+                # bounce). The per-shard MAX live count sizes the next
+                # step's compaction classes (shards compact to the same
+                # static k).
+                rays_delta = jax.lax.psum(out.rays - carry.rays, axis)
+                out = out._replace(rays=carry.rays)
+                return out, jax.lax.pmax(
+                    jnp.sum(out.alive.astype(jnp.int32)), axis), rays_delta
+            return bounce_stage
 
         @functools.partial(jax.shard_map, mesh=mesh,
                            in_specs=(lane, lane, P(), P(), lane),
@@ -272,7 +280,8 @@ class _ShardedStages:
 
         self.raygen = jax.jit(raygen_stage)
         self.raygen_adaptive = jax.jit(raygen_adaptive_stage)
-        self.bounce = jax.jit(bounce_stage)
+        self.bounce = jax.jit(bounce_stage_of(True))
+        self.bounce0 = jax.jit(bounce_stage_of(False))
         self.accumulate = jax.jit(accumulate_stage)
         self.accumulate_adaptive = jax.jit(accumulate_adaptive_stage)
         self.scatter = jax.jit(scatter_stage)
@@ -304,7 +313,15 @@ class Renderer:
         self.scene: Optional[Scene] = None
         self.accum = None                 # (H, W, 3) f32 device film
         self.total_samples = 0
-        self.rays_total = None            # () i32 device counter
+        # ray counter: per-sample () i32 device chunks + a folded host
+        # int. A single chained i32 would overflow past ~2.1e9 traced rays
+        # (a 1 Mpixel film at 1024 spp exceeds that); per-sample chunks
+        # stay far below the limit and fold lazily without ever syncing
+        # on in-flight work.
+        self._rays_chunks: list = []
+        self._rays_host: int = 0
+        import threading as _threading
+        self._rays_lock = _threading.Lock()
         self.adaptive = AdaptiveSampleController(min_refresh_rate,
                                                  max_samples_per_frame)
         # active camera in scene.cameras (≙ the Settings-tab camera radio
@@ -334,6 +351,9 @@ class Renderer:
         self.scene = scene
         with Timer("Mesh Upload"):
             self.ds = flatten_scene(scene)
+        # generation tag: a loader thread from a PREVIOUS scene that
+        # finishes after this switch must not swap its (stale) pool in
+        self._tex_gen = getattr(self, "_tex_gen", 0) + 1
         self._pending_tex = None
         if tex is not None:
             self.tex = tex
@@ -341,10 +361,11 @@ class Renderer:
             from pt.scene.textures import build_scene_textures
             if stream_textures:
                 self.tex = default_texture_pool()
+                gen = self._tex_gen
 
                 def load() -> None:
                     pool = build_scene_textures(scene)
-                    self._pending_tex = pool
+                    self._pending_tex = (gen, pool)
 
                 self._tex_thread = threading.Thread(target=load, daemon=True)
                 self._tex_thread.start()
@@ -360,11 +381,14 @@ class Renderer:
         """Swap in streamed textures once the loader thread finishes
         (≙ Renderer::UpdateTexture acquire + descriptor update,
         Renderer.cpp:441-470)."""
-        pool = getattr(self, "_pending_tex", None)
-        if pool is not None:
-            self.tex = pool
+        pending = getattr(self, "_pending_tex", None)
+        if pending is not None:
+            gen, pool = pending
             self._pending_tex = None
-            self.reset_accumulation()
+            if gen == getattr(self, "_tex_gen", 0):
+                self.tex = pool
+                self.reset_accumulation()
+            # else: a stale loader from a replaced scene — drop its pool
 
     def wait_for_textures(self) -> None:
         t = getattr(self, "_tex_thread", None)
@@ -440,7 +464,9 @@ class Renderer:
         if self.width and self.height:
             self.accum = jnp.zeros((self.height, self.width, 3), jnp.float32)
         self.total_samples = 0
-        self.rays_total = jnp.zeros((), jnp.int32)
+        with self._rays_lock:
+            self._rays_chunks = []
+            self._rays_host = 0
         self._compaction_plan = None
         self._plan_age = 0
         self._spp_map = None
@@ -483,7 +509,7 @@ class Renderer:
                 from pt.accel.pallas_bvh import (build_bf8,
                                                  build_packet_bvh_sah)
                 from pt.core.cache import LRUCache, fnv1a
-                base = _prepare_attribs_jit(self.ds, self.settings)
+                base = _prepare_attribs_jit(self.ds, self._jit_settings())
                 wpos_np = np.asarray(base.wpos)
                 tri_np = np.asarray(self.ds.tri_idx)
                 if Renderer._accel_cache is None:
@@ -500,8 +526,13 @@ class Renderer:
                             float(a.min()), float(a.max()))
 
                 opq_np = np.asarray(self.ds.tri_opaque)
+                # content hash, not just the opaque COUNT: two material
+                # variants of the same mesh can swap which triangles are
+                # alpha-tested without changing the sum, and a stale hit
+                # would reuse the wrong opaque/alpha split trees
                 key = (geo_key(wpos_np), geo_key(tri_np),
-                       int(opq_np.sum()), opq_np.shape)
+                       fnv1a(np.packbits(opq_np.astype(bool)).tobytes()),
+                       opq_np.shape)
 
                 def build_static(rows, opq_rows):
                     # spatial splits (SBVH): measured -14.5% closest-hit
@@ -548,9 +579,9 @@ class Renderer:
                 if bvh is not None:
                     self.accel = base._replace(bvh=bvh, alpha_split=split)
                 else:
-                    self.accel = _prepare_jit(self.ds, self.settings)
+                    self.accel = _prepare_jit(self.ds, self._jit_settings())
             else:
-                self.accel = _prepare_jit(self.ds, self.settings)
+                self.accel = _prepare_jit(self.ds, self._jit_settings())
                 # the brute oracle follows the same split semantics as the
                 # production path (the split resolves deep alpha stacks the
                 # way the reference's TerminateOnFirstHit hardware loop
@@ -576,6 +607,7 @@ class Renderer:
         if self._spp_map is not None:
             # uniform stepping cannot continue a per-pixel-count film
             self.reset_accumulation()
+        self._fold_rays()
         self._poll_textures()
         self._ensure_accel()
         inv_view, inv_proj = self._camera_mats()
@@ -600,21 +632,27 @@ class Renderer:
                 observe = (self._compaction_plan is None
                            or self._plan_age >= 16)
                 alive_obs = []
+                jset = self._jit_settings()
                 for si in range(samples):
                     carry = _raygen_jit(self._px, self._py, self.width,
                                         self.height, inv_view, inv_proj,
-                                        state, self.settings)
+                                        state, jset)
                     full = carry
                     perm = None
                     cur_n = n_full
                     for bounce in range(self.settings.bounce_count):
                         carry, alive_count = _bounce_jit(
                             self.ds, self.tex, self.accel, carry,
-                            self.settings, bounce > 0)
+                            jset, bounce > 0)
                         if si == 0 and observe:
                             alive_obs.append(alive_count)
+                        # during re-observation the (stale) plan is NOT
+                        # applied to the observed sample: compaction by an
+                        # undersized class would truncate live paths AND
+                        # clamp the very counts meant to correct it
                         k = (plan[bounce]
-                             if plan and bounce < len(plan) else None)
+                             if plan and bounce < len(plan)
+                             and not (observe and si == 0) else None)
                         if (k is not None and k <= cur_n // 2
                                 and bounce < self.settings.bounce_count - 1):
                             if perm is not None:
@@ -627,8 +665,10 @@ class Renderer:
                         full = _scatter_jit(full, carry, perm)
                     else:
                         full = carry
-                    self.accum, self.rays_total = _accumulate_jit(
-                        full, self.accum, self.rays_total, self._film_perm)
+                    self.accum, rt = _accumulate_jit(
+                        full, self.accum, jnp.zeros((), jnp.int32),
+                        self._film_perm)
+                    self._rays_chunks.append(rt)
                     state = full.state
                 if alive_obs:
                     # single batched fetch = one sync. 1.35x headroom over
@@ -647,6 +687,14 @@ class Renderer:
         self.total_samples += samples
         Stats.add_stat("Total Samples", self.total_samples)
         return self.total_samples
+
+    def _jit_settings(self):
+        """Settings instance for the per-stage jits: sample_count is
+        host-loop state, not a kernel parameter (no traced stage reads
+        it), so pin it in the static key — otherwise every
+        samples-per-frame retune by the adaptive controller (on_update)
+        would retrace and recompile raygen + both bounce variants."""
+        return dataclasses.replace(self.settings, sample_count=1)
 
     def _camera_mats(self):
         cams = self.scene.cameras
@@ -749,11 +797,15 @@ class Renderer:
                                                  pool, max_seconds)
         if self.ds is None or not self.width:
             raise RuntimeError("scene or film not initialized")
+        self._fold_rays()
         self._poll_textures()
         self._ensure_accel()
         inv_view, inv_proj = self._camera_mats()
         n_full = self.width * self.height
-        disp_n = _size_class(n_full)          # lanes per dispatch
+        # dispatch at the exact film size: render() compiles this shape
+        # already, and a pow2 class would pad every dispatch of a non-pow2
+        # film with up to ~14% weight-0 lanes doing full path-tracing work
+        disp_n = n_full                       # lanes per dispatch
         if self._spp_map is None:
             if self.total_samples:
                 # adaptive stats can't be reconstructed for a uniform film
@@ -807,7 +859,7 @@ class Renderer:
                         jnp.asarray(cf.astype(np.uint32)))
                     carry = _raygen_jit(pxs, pys, self.width, self.height,
                                         inv_view, inv_proj, state,
-                                        self.settings)
+                                        self._jit_settings())
                     full = carry
                     perm = None
                     cur_n = disp_n
@@ -819,7 +871,7 @@ class Renderer:
                     for bounce in range(self.settings.bounce_count):
                         carry, alive_count = _bounce_jit(
                             self.ds, self.tex, self.accel, carry,
-                            self.settings, bounce > 0)
+                            self._jit_settings(), bounce > 0)
                         if alive_obs is not None:
                             alive_obs.append(alive_count)
                         kk = (plan[bounce]
@@ -837,14 +889,30 @@ class Renderer:
                     else:
                         full = carry
                     (self.accum, self._accum_sq,
-                     self.rays_total) = _accumulate_adaptive_jit(
-                        full, self.accum, self._accum_sq, self.rays_total,
-                        perm_sub, w_d)
+                     rt) = _accumulate_adaptive_jit(
+                        full, self.accum, self._accum_sq,
+                        jnp.zeros((), jnp.int32), perm_sub, w_d)
+                    self._rays_chunks.append(rt)
                     if alive_obs is not None:
                         obs = np.asarray(jnp.stack(alive_obs))
-                        self._compaction_plan = [
+                        new_plan = [
                             _size_class(int(1.35 * c)) if c > 0 else 1024
                             for c in obs]
+                        if plan is not None:
+                            # counts are observed pre-compaction, so a
+                            # bounce whose true count exceeded its class
+                            # is visible directly — but counts at DEEPER
+                            # bounces were depressed by that truncation:
+                            # don't shrink their classes on this
+                            # observation
+                            for b in range(len(new_plan)):
+                                if b < len(plan) and obs[b] > plan[b]:
+                                    for j in range(b + 1, len(new_plan)):
+                                        if j < len(plan):
+                                            new_plan[j] = max(new_plan[j],
+                                                              plan[j])
+                                    break
+                        self._compaction_plan = new_plan
                         self._plan_age = 0
                     steps += 1
                 self._spp_map += alloc
@@ -870,12 +938,13 @@ class Renderer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         if self.ds is None or not self.width:
             raise RuntimeError("scene or film not initialized")
+        self._fold_rays()
         self._poll_textures()
         self._ensure_accel()
         inv_view, inv_proj = self._camera_mats()
         if self._stages is None:
             self._stages = _ShardedStages(self.mesh, self.width,
-                                          self.height, self.settings)
+                                          self.height, self._jit_settings())
         sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
         n_dev = self.mesh.devices.size
         n_full = self.width * self.height
@@ -954,10 +1023,13 @@ class Renderer:
                     cur_n = n_local
                     plan = self._compaction_plan
                     alive_obs = [] if (plan is None or d == 0) else None
+                    rt = jnp.zeros((), jnp.int32)
                     for bounce in range(self.settings.bounce_count):
-                        carry, alive_max, rays_delta = self._stages.bounce(
+                        stage = (self._stages.bounce if bounce > 0
+                                 else self._stages.bounce0)
+                        carry, alive_max, rays_delta = stage(
                             self.ds, self.tex, self.accel, carry)
-                        self.rays_total = self.rays_total + rays_delta
+                        rt = rt + rays_delta
                         if alive_obs is not None:
                             alive_obs.append(alive_max)
                         kk = (plan[bounce]
@@ -977,11 +1049,24 @@ class Renderer:
                         full = carry
                     accum_flat, sq_flat = self._stages.accumulate_adaptive(
                         full, accum_flat, sq_flat, perm_sub, w_d)
+                    self._rays_chunks.append(rt)
                     if alive_obs is not None:
                         obs = np.asarray(jnp.stack(alive_obs))
-                        self._compaction_plan = [
+                        new_plan = [
                             _size_class(int(1.35 * c)) if c > 0 else 1024
                             for c in obs]
+                        if plan is not None:
+                            # counts at bounces deeper than an overflowed
+                            # class were depressed by its truncation —
+                            # don't shrink them on this observation
+                            for b in range(len(new_plan)):
+                                if b < len(plan) and obs[b] > plan[b]:
+                                    for j in range(b + 1, len(new_plan)):
+                                        if j < len(plan):
+                                            new_plan[j] = max(new_plan[j],
+                                                              plan[j])
+                                    break
+                        self._compaction_plan = new_plan
                         self._plan_age = 0
                     steps += 1
                 self._spp_map += alloc
@@ -1006,7 +1091,7 @@ class Renderer:
         `int(alive_count)` sync (≈30 ms each on this platform) is gone."""
         if self._stages is None:
             self._stages = _ShardedStages(self.mesh, self.width, self.height,
-                                          self.settings)
+                                          self._jit_settings())
         n_dev = self.mesh.devices.size
         n_local = (self.width * self.height) // n_dev
         accum_flat = self.accum.reshape(-1, 3)
@@ -1020,13 +1105,19 @@ class Renderer:
             full = carry
             perm = None
             cur_n = n_local
+            rt = jnp.zeros((), jnp.int32)
             for bounce in range(self.settings.bounce_count):
-                carry, alive_max, rays_delta = self._stages.bounce(
+                stage = (self._stages.bounce if bounce > 0
+                         else self._stages.bounce0)
+                carry, alive_max, rays_delta = stage(
                     self.ds, self.tex, self.accel, carry)
-                self.rays_total = self.rays_total + rays_delta
+                rt = rt + rays_delta
                 if s == 0 and observe:
                     alive_obs.append(alive_max)
-                k = plan[bounce] if plan and bounce < len(plan) else None
+                # the observing sample runs uncompacted (see render())
+                k = (plan[bounce]
+                     if plan and bounce < len(plan)
+                     and not (observe and s == 0) else None)
                 if (k is not None and k <= cur_n // 2
                         and bounce < self.settings.bounce_count - 1):
                     if perm is not None:
@@ -1041,6 +1132,7 @@ class Renderer:
                 full = carry
             accum_flat = self._stages.accumulate(full, accum_flat,
                                                  self._film_perm_sharded)
+            self._rays_chunks.append(rt)
         if alive_obs:
             counts = np.asarray(jnp.stack(alive_obs))   # one batched sync
             self._compaction_plan = [
@@ -1072,9 +1164,24 @@ class Renderer:
                           self.post, hdr)
         return np.asarray(out)
 
+    def _fold_rays(self, keep: int = 64, limit: int = 512) -> None:
+        """Bound the ray-chunk list: fold chunks older than the last
+        `keep` into the host total. Old chunks' computations finished many
+        renders ago, so the int() conversions don't stall the pipeline.
+        Render-thread only (rays_traced readers take the same lock)."""
+        if len(self._rays_chunks) <= limit:
+            return
+        with self._rays_lock:
+            old, self._rays_chunks = (self._rays_chunks[:-keep],
+                                      self._rays_chunks[-keep:])
+            self._rays_host += sum(int(c) for c in old)
+
     @property
     def rays_traced(self) -> int:
-        return int(self.rays_total) if self.rays_total is not None else 0
+        with self._rays_lock:
+            chunks = list(self._rays_chunks)
+            host = self._rays_host
+        return host + sum(int(c) for c in chunks)
 
     # -- checkpoint / resume (an upgrade over the reference, which loses
     # -- progress on a crash mid-render; SURVEY §5 recommends this) --------
@@ -1088,7 +1195,7 @@ class Renderer:
         np.savez(path,
                  accum=np.asarray(self.accum),
                  total_samples=self.total_samples,
-                 rays_total=int(self.rays_total),
+                 rays_total=self.rays_traced,
                  width=self.width, height=self.height, **extra)
 
     def load_checkpoint(self, path: str) -> None:
@@ -1097,7 +1204,9 @@ class Renderer:
         self.on_resize(w, h)
         self.accum = jnp.asarray(data["accum"])
         self.total_samples = int(data["total_samples"])
-        self.rays_total = jnp.asarray(int(data["rays_total"]), jnp.int32)
+        with self._rays_lock:
+            self._rays_chunks = []
+            self._rays_host = int(data["rays_total"])
         if "spp_map" in data:
             self._spp_map = data["spp_map"]
             self._accum_sq = jnp.asarray(data["accum_sq"])

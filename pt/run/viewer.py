@@ -309,14 +309,33 @@ def _build_hud(width: int, height: int) -> np.ndarray:
 def apply_settings(app, data: dict) -> None:
     """Map a JSON settings dict onto the renderer's PathTracingSettings /
     PostProcessSettings dataclasses (unknown keys ignored; ≙ the Settings
-    tab writing Renderer::SetSettings, Renderer.cpp:825-852)."""
+    tab writing Renderer::SetSettings, Renderer.cpp:825-852).
+
+    Values are coerced to the field's declared type here: a bad payload
+    must raise NOW (where the caller logs and rejects the update), not as
+    a TypeError inside the next frame's render loop — that would kill the
+    whole viewer from one HTTP request."""
     import dataclasses
 
+    def coerce(dc, updates: dict) -> dict:
+        out = {}
+        for f in dataclasses.fields(type(dc)):
+            if f.name not in updates:
+                continue
+            v = updates[f.name]
+            if f.type in ("int", int):
+                out[f.name] = int(v)
+            elif f.type in ("float", float):
+                out[f.name] = float(v)
+            elif f.type in ("bool", bool):
+                out[f.name] = bool(v)
+            else:
+                out[f.name] = v
+        return out
+
     st, post = app.renderer.settings, app.renderer.post
-    st_fields = {f.name for f in dataclasses.fields(type(st))}
-    post_fields = {f.name for f in dataclasses.fields(type(post))}
-    st_up = {k: v for k, v in data.items() if k in st_fields}
-    post_up = {k: v for k, v in data.items() if k in post_fields}
+    st_up = coerce(st, data)
+    post_up = coerce(post, data)
     app.renderer.set_settings(
         dataclasses.replace(st, **st_up) if st_up else None,
         dataclasses.replace(post, **post_up) if post_up else None)
@@ -357,8 +376,12 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
         # scene switches requested over HTTP apply here, on the loop
         # thread, so the renderer is never mutated mid-frame
         if pending_scene:
-            target = pending_scene.pop()
-            pending_scene.clear()
+            # last-wins for scene targets, but delete only what was seen —
+            # a pop()+clear() pair would discard a concurrently-appended
+            # newer request without effect
+            batch = pending_scene[:]
+            del pending_scene[:len(batch)]
+            target = batch[-1]
             try:
                 if target.startswith("path:"):
                     # ≙ UserInterface.cpp:768: load an arbitrary file as
@@ -386,12 +409,16 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
             except Exception as exc:       # keep-prev-on-failure semantics
                 log.warning("scene switch to %s failed: %s", target, exc)
         if pending_settings:
-            data = pending_settings.pop()
-            pending_settings.clear()
-            try:
-                apply_settings(app, data)
-            except (TypeError, ValueError) as exc:
-                log.warning("settings update rejected: %s", exc)
+            # drain in arrival order: payloads are partial deltas, so
+            # applying only the newest would silently drop earlier ones
+            # (snapshot-slice + del avoids racing concurrent appends)
+            batch = pending_settings[:]
+            del pending_settings[:len(batch)]
+            for data in batch:
+                try:
+                    apply_settings(app, data)
+                except (TypeError, ValueError) as exc:
+                    log.warning("settings update rejected: %s", exc)
         if show_hud and hud_state["visible"]:
             from pt.post import compose_ui
             h, w = snapshot.shape[:2]
