@@ -211,3 +211,72 @@ def test_film_spp_2d_mesh(default_setup):
     ratio = float(np.asarray(img).mean() / np.asarray(ref).mean())
     assert 1.5 < ratio < 2.6            # 2 merged films within MC noise
     assert int(rays) > int(rays_ref)
+
+
+def test_spf_retune_does_not_recompile():
+    """The adaptive samples-per-frame controller retunes sample_count
+    every few seconds; no traced stage reads it, so it must not be part
+    of any jit static key (a retune used to recompile raygen + both
+    bounce variants, freezing the interactive stream)."""
+    import dataclasses
+
+    from pt.run.renderer import Renderer, _bounce_jit, _raygen_jit
+    from pt.scene.examples import make_reuse_mesh_scene
+
+    r = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
+                                     backend="brute"))
+    r.set_scene(make_reuse_mesh_scene(), stream_textures=False)
+    r.on_resize(16, 16)
+    r.render(1)
+    before = _raygen_jit._cache_size() + _bounce_jit._cache_size()
+    for spf in (2, 4, 8):
+        r.settings = dataclasses.replace(r.settings, sample_count=spf)
+        r.render()
+    after = _raygen_jit._cache_size() + _bounce_jit._cache_size()
+    assert after == before
+
+
+def test_stale_texture_pool_not_swapped_in():
+    """A loader thread from a replaced scene finishing late must not
+    install its pool under the new scene's texture indices."""
+    from pt.run.renderer import Renderer
+    from pt.scene.examples import make_reuse_mesh_scene
+
+    r = Renderer(PathTracingSettings(sample_count=1, bounce_count=1,
+                                     backend="brute"))
+    r.set_scene(make_reuse_mesh_scene(), stream_textures=False)
+    current = r.tex
+    r._pending_tex = (r._tex_gen - 1, "stale-pool")   # late stale writer
+    r._poll_textures()
+    assert r.tex is current
+    r._pending_tex = (r._tex_gen, current)            # current-gen writer
+    r._poll_textures()
+    assert r.tex is current
+
+
+def test_rays_traced_chunks_fold_and_checkpoint(default_setup, tmp_path):
+    """The ray counter accumulates per-sample device chunks folded into a
+    host int: folding must not change the total, and checkpoints must
+    round-trip it."""
+    scene, ds, tex, _cam = default_setup
+    from pt.run.renderer import Renderer
+
+    r = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
+                                     backend="brute"))
+    r.set_scene(scene, stream_textures=False)
+    r.on_resize(16, 16)
+    for _ in range(6):
+        r.render(1)
+    total = r.rays_traced
+    assert total > 0
+    r._fold_rays(keep=2, limit=3)
+    assert len(r._rays_chunks) == 2
+    assert r.rays_traced == total
+    path = tmp_path / "ck.npz"
+    r.save_checkpoint(str(path))
+    r2 = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
+                                      backend="brute"))
+    r2.set_scene(scene, stream_textures=False)
+    r2.on_resize(16, 16)
+    r2.load_checkpoint(str(path))
+    assert r2.rays_traced == total
