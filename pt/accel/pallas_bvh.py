@@ -1158,6 +1158,15 @@ def _finish_build(blo, bhi, n_leaves, pages, block):
         levels_hi.append(levels_hi[-1].reshape(-1, 2, 3).max(axis=1))
     heap_lo = jnp.concatenate(levels_lo[::-1], axis=0)
     heap_hi = jnp.concatenate(levels_hi[::-1], axis=0)
+    # Empty subtrees (leaf-count round-up padding) carry inverted
+    # +inf/-inf boxes — the correct identity for the min/max unions above,
+    # but the slab test reads an inverted box as ALWAYS-HIT, so every ray
+    # would walk and DMA the whole padding subtree. Replace them with the
+    # far-away degenerate point box AFTER the unions (same recipe as
+    # build_bf8's empty child slots).
+    empty = heap_lo[:, :1] > heap_hi[:, :1]
+    heap_lo = jnp.where(empty, 1e30, heap_lo)
+    heap_hi = jnp.where(empty, 1e30, heap_hi)
     heap_of_preorder, miss_next, leaf_id = _topology(n_leaves)
     return PacketBVH(
         top_lo=heap_lo[heap_of_preorder],
@@ -1296,7 +1305,7 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
     se1 = np.zeros((t_pad, 3), np.float32)
     se2 = np.zeros((t_pad, 3), np.float32)
     ids = np.full(t_pad, -1, np.int32)
-    alpha = np.zeros(t_pad, bool)
+    page_alpha = np.zeros(t_pad, bool)   # NOT the SBVH `alpha` gate param
     # vectorized leaf packing (the per-leaf python loop recomputed the
     # full (T,3) edge arrays once PER LEAF — O(leaves*T) wall time that
     # dominated big-scene builds; benches/instancing_budget.py)
@@ -1314,10 +1323,10 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
         se2[slot] = v2[tris] - v0[tris]
         ids[slot] = tris
         if tri_opaque_np is not None:
-            alpha[slot] = ~np.asarray(tri_opaque_np, bool)[tris]
+            page_alpha[slot] = ~np.asarray(tri_opaque_np, bool)[tris]
 
     pages = _woop_pages(sv0, se1, se2, ids, n_leaves, block,
-                        tri_alpha=alpha if tri_opaque_np is not None
+                        tri_alpha=page_alpha if tri_opaque_np is not None
                         else None)
     return PacketBVH(
         top_lo=jnp.asarray(node_lo),
@@ -2807,7 +2816,11 @@ def _pack_inputs(origins, dirs, extra, extra_fill, n):
     if pad:
         zpad = lambda a, c: jnp.concatenate(
             [a, jnp.full((pad,) + a.shape[1:], c, a.dtype)])
-        origins = zpad(origins, 0.0)
+        # pad origins FAR outside any scene (+x heading away): an
+        # origin-0 pad lane votes 'hit' on every node containing the
+        # world origin, dragging its whole lockstep sub-packet through
+        # those subtrees (leaf DMAs + MXU tests) for nothing
+        origins = zpad(origins, 1e7)
         dirs = zpad(dirs, 1.0)
         extra = zpad(extra, extra_fill)
     np_rays = origins.shape[0]
@@ -2829,7 +2842,8 @@ def _pack_inputs_v3(origins, dirs, extra, extra_fill, n):
     if pad:
         zpad = lambda a, c: jnp.concatenate(
             [a, jnp.full((pad,) + a.shape[1:], c, a.dtype)])
-        origins = zpad(origins, 0.0)
+        # far-away pad origins: see _pack_inputs
+        origins = zpad(origins, 1e7)
         dirs = zpad(dirs, 1.0)
         extra = zpad(extra, extra_fill)
     np_rays = origins.shape[0]

@@ -89,8 +89,10 @@ class PathTracingSettings:
     # coherence already bounds the traversal footprint, and the sort's
     # argsort + full-carry gather measured a net LOSS (bounce1 at 262k
     # rays: 114 ms sorted vs 81 ms unsorted on the heightfield bench).
-    # Turn on for workloads with incoherent origins (e.g. heavy
-    # transmission/many-bounce interiors).
+    # Scope: applies to the binary PacketBVH path only — static scenes
+    # use the BF8 wide-node structures, where every re-sort key we tried
+    # also measured negative (docs/perf_budget.md §2), so the knob is
+    # intentionally inert there.
     sort_rays: bool = False
 
 
@@ -197,7 +199,6 @@ def _skybox_emissive(ds: DeviceScene, directions):
     common.glsl:17-20)."""
     if ds.skybox_kind == int(SkyboxKind.EQUIRECT):
         img = ds.skybox_image                      # (H, W, 3)
-        h, w = img.shape[0], img.shape[1]
         longitude = jnp.arctan2(directions[:, 2], directions[:, 0])
         latitude = jnp.arcsin(jnp.clip(-directions[:, 1], -1.0, 1.0))
         u = longitude / (2.0 * jnp.pi) + 0.5
