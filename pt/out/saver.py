@@ -130,9 +130,14 @@ class OutputSaver:
         OutputSaver.cpp:164-181)."""
         if not self.active:
             raise RuntimeError("no output registered")
-        if self._error:
-            raise self._error
-        self._queue.put(image)
+        while True:
+            if self._error:
+                raise self._error
+            try:
+                self._queue.put(image, timeout=0.25)
+                return
+            except queue.Full:
+                continue
 
     def end_output(self) -> None:
         """≙ EndOutput (OutputSaver.cpp:183-203): drain, flush, close."""
@@ -159,11 +164,12 @@ class OutputSaver:
         if not self.active:
             return
         info = self._info
+        if self._ffmpeg:
+            self._ffmpeg.kill()   # unblocks a writer stuck in stdin.write
         self._queue.put(None)
         if self._thread:
             self._thread.join()
         if self._ffmpeg:
-            self._ffmpeg.kill()
             self._ffmpeg.wait()
             self._ffmpeg = None
         avi_path = None
@@ -202,6 +208,11 @@ class OutputSaver:
                 self._frame_index += 1
             except Exception as exc:            # surfaced on next submit
                 self._error = exc
+                # keep DRAINING (discarding) until the sentinel: producers
+                # block on the bounded queue, so exiting here would leave
+                # submit_frame/end_output stuck in put() forever
+                while self._queue.get() is not None:
+                    pass
                 return
 
     @staticmethod
@@ -209,6 +220,12 @@ class OutputSaver:
         return info.sequence
 
     def _write_video_frame(self, info: OutputInfo, frame: np.ndarray) -> None:
+        if frame.shape[:2] != (info.height, info.width):
+            # ffmpeg reads fixed-size rawvideo frames; a mismatched frame
+            # would silently shear the whole stream
+            raise ValueError(
+                f"frame {frame.shape[:2]} != registered "
+                f"{(info.height, info.width)}")
         if self._ffmpeg is not None:
             u8 = (np.clip(frame, 0, 1) * 255.0 + 0.5).astype(np.uint8)
             rgba = np.concatenate(

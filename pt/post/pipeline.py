@@ -177,18 +177,14 @@ def linear_to_hdr10(color, white_point: float = 203.0):
     return ((c1 + c2 * cp) / (1 + c3 * cp)) ** m2
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "hdr"))
-def postprocess(accum, total_samples, settings: PostProcessSettings,
-                hdr: bool = False, ui=None):
-    """Full post chain on an (H, W, 3) accumulation image → display-ready
-    float image in [0,1] (SDR) or PQ-encoded (HDR). `ui`, when given, is
-    an (H, W, 4) sRGB RGBA overlay composed after tone mapping and before
-    the PQ encode, matching the reference's dispatch order (toneMapping →
-    uiComposition, Renderer.cpp:1766-1776)."""
-    color = resolve_accumulation(accum, total_samples, settings.exposure)
-    if settings.enable_bloom:
-        bloom = bloom_pyramid(color, settings.bloom_threshold)
-        color = color + settings.bloom_intensity * 0.1 * bloom
+@functools.partial(jax.jit, static_argnames=("enable_bloom", "hdr"))
+def _postprocess_jit(accum, total_samples, exposure, bloom_threshold,
+                     bloom_intensity, enable_bloom: bool, hdr: bool,
+                     ui=None):
+    color = resolve_accumulation(accum, total_samples, exposure)
+    if enable_bloom:
+        bloom = bloom_pyramid(color, bloom_threshold)
+        color = color + bloom_intensity * 0.1 * bloom
     if not hdr:
         color = tonemap_sdr(color)           # HDR mode passes through
     if ui is not None:
@@ -196,3 +192,22 @@ def postprocess(accum, total_samples, settings: PostProcessSettings,
     if hdr:
         color = linear_to_hdr10(color)
     return color
+
+
+def postprocess(accum, total_samples, settings: PostProcessSettings,
+                hdr: bool = False, ui=None):
+    """Full post chain on an (H, W, 3) accumulation image → display-ready
+    float image in [0,1] (SDR) or PQ-encoded (HDR). `ui`, when given, is
+    an (H, W, 4) sRGB RGBA overlay composed after tone mapping and before
+    the PQ encode, matching the reference's dispatch order (toneMapping →
+    uiComposition, Renderer.cpp:1766-1776).
+
+    Only the STRUCTURAL flags (enable_bloom, hdr) are jit statics; the
+    exposure/bloom floats are traced operands, so dragging a viewer
+    slider never recompiles the 13-level bloom chain (≙ push-constant
+    updates vs pipeline rebuilds in the reference)."""
+    return _postprocess_jit(accum, total_samples,
+                            jnp.float32(settings.exposure),
+                            jnp.float32(settings.bloom_threshold),
+                            jnp.float32(settings.bloom_intensity),
+                            settings.enable_bloom, hdr, ui)

@@ -166,9 +166,18 @@ def world_vertices(ds: DeviceScene):
 
 
 def _normal_matrices(transforms: jax.Array) -> jax.Array:
-    """Inverse-transpose of the upper-left 3x3 of each 4x4."""
+    """Normal matrix of the upper-left 3x3 of each 4x4: the cofactor
+    matrix times sign(det) — identical direction to the inverse-transpose
+    after the downstream unit-normalization (inv(A)^T = cof(A)/det), but
+    finite for singular transforms (scale-to-zero animation frames would
+    otherwise flood the frame with NaN-sentinel pixels) and cheaper than
+    an inverse."""
     a = transforms[:, :3, :3]
-    return jnp.transpose(jnp.linalg.inv(a), (0, 2, 1))
+    r0, r1, r2 = a[:, 0], a[:, 1], a[:, 2]
+    cof = jnp.stack([jnp.cross(r1, r2), jnp.cross(r2, r0),
+                     jnp.cross(r0, r1)], axis=1)
+    det = jnp.einsum("vi,vi->v", r0, cof[:, 0])
+    return jnp.where(det[:, None, None] < 0, -cof, cof)
 
 
 def flatten_scene(scene: Scene) -> DeviceScene:

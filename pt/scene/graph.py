@@ -96,8 +96,13 @@ class Animation:
 
     def update(self, dt: float, local_transforms: np.ndarray) -> None:
         self.current_tick += dt * self.ticks_per_second
-        while self.current_tick >= self.duration:
-            self.current_tick -= self.duration
+        # single fmod, not a subtraction loop: a subtraction loop spins
+        # forever at duration == 0 and runs tick/duration iterations for
+        # tiny clips
+        if self.duration > 0.0:
+            self.current_tick %= self.duration
+        else:
+            self.current_tick = 0.0
         for node in self.nodes:
             p = node.positions.sample(self.current_tick)
             r = node.rotations.sample(self.current_tick)

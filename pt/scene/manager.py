@@ -148,14 +148,16 @@ class SceneManager:
         cfg = get_config()
         if cfg.scenes_path is None or not pathlib.Path(cfg.scenes_path).is_dir():
             return
-        group = self.groups.setdefault("Khronos Scenes", {})
         for entry in sorted(pathlib.Path(cfg.scenes_path).iterdir()):
             gltfs = (list(entry.glob("glTF/*.gltf")) + list(entry.glob("*.gltf"))
                      + list(entry.glob("*.glb"))) if entry.is_dir() else []
             if gltfs:
                 loader = SceneDescription(entry.name, [gltfs[0]]).to_loader()
                 if loader:
-                    group[entry.name] = loader
+                    # group created lazily so an asset dir with no usable
+                    # scene doesn't list an empty tab in the viewer
+                    self.groups.setdefault("Khronos Scenes",
+                                           {})[entry.name] = loader
 
     def register(self, group: str, name: str, loader: SceneLoader) -> None:
         self.groups.setdefault(group, {})[name] = loader

@@ -52,6 +52,8 @@ def read_radiance_hdr(data: bytes) -> np.ndarray:
     pos = 0
     for y in range(h):
         if raw[pos] == 2 and raw[pos + 1] == 2:     # adaptive RLE
+            if ((raw[pos + 2] << 8) | raw[pos + 3]) != w:
+                raise ValueError("HDR adaptive-RLE scanline width mismatch")
             pos += 4
             for c in range(4):
                 x = 0
@@ -67,10 +69,37 @@ def read_radiance_hdr(data: bytes) -> np.ndarray:
                             raw, np.uint8, count, pos)
                         pos += count
                         x += count
-        else:                                        # flat scanline
-            row = np.frombuffer(raw, np.uint8, w * 4, pos).reshape(w, 4)
-            rgbe[y] = row
-            pos += w * 4
+        else:            # flat scanline, possibly with old-style RLE runs
+            # old-style RLE: a pixel (1,1,1,n) repeats the previous pixel
+            # n<<shift times (consecutive markers raise shift by 8). A
+            # purely flat file has no such markers and decodes in one
+            # vectorized copy; marker handling is chunked so legacy files
+            # stay fast.
+            x = 0
+            shift = 0
+            while x < w:
+                avail = min(w - x, (len(raw) - pos) // 4)
+                if avail <= 0:
+                    raise ValueError("truncated HDR scanline")
+                cand = np.frombuffer(raw, np.uint8, avail * 4,
+                                     pos).reshape(avail, 4)
+                marks = np.flatnonzero((cand[:, 0] == 1) & (cand[:, 1] == 1)
+                                       & (cand[:, 2] == 1))
+                lit = int(marks[0]) if len(marks) else avail
+                if lit:
+                    rgbe[y, x:x + lit] = cand[:lit]
+                    x += lit
+                    pos += lit * 4
+                    shift = 0
+                if len(marks) and lit == int(marks[0]):
+                    count = int(cand[lit, 3]) << shift
+                    prev = (rgbe[y, x - 1] if x
+                            else rgbe[y - 1, w - 1] if y else 0)
+                    end = min(x + count, w)
+                    rgbe[y, x:end] = prev
+                    x = end
+                    pos += 4
+                    shift += 8
     exp = rgbe[..., 3].astype(np.int32)
     scale = np.where(exp == 0, 0.0,
                      np.ldexp(1.0, exp - 136)).astype(np.float32)
@@ -129,13 +158,25 @@ def load_texture_pixels(info: TextureInfo) -> Optional[np.ndarray]:
     to the default texture, ≙ SceneImporter.cpp:89-98)."""
     try:
         if info.pixels is not None:
-            px = np.asarray(info.pixels, np.float32)
+            raw = np.asarray(info.pixels)
+            px = raw.astype(np.float32)
             if px.ndim == 2:
                 px = px[..., None]
+            if px.shape[-1] == 1:                      # gray → RGB
+                px = np.repeat(px, 3, axis=-1)
+            elif px.shape[-1] == 2:                    # gray+alpha
+                px = np.concatenate(
+                    [np.repeat(px[..., :1], 3, axis=-1), px[..., 1:]], -1)
             if px.shape[-1] == 3:
                 px = np.concatenate([px, np.ones_like(px[..., :1])], -1)
-            if px.dtype == np.uint8 or px.max() > 2.0:
+            # normalize by the SOURCE dtype (the old check ran after the
+            # float32 conversion, so it fell back to a value heuristic
+            # that kept dark uint8 masks raw and wrongly divided genuine
+            # HDR float data)
+            if raw.dtype == np.uint8:
                 px = px / 255.0
+            elif raw.dtype == np.uint16:
+                px = px / 65535.0
             return px
         data = info.data
         if data is None and info.path is not None:
