@@ -135,6 +135,9 @@ def refract_differentials(rays: DiffRays, duv_x, duv_y, n, p, view_dir,
     rdn = _dot(refracted_dir, n)
     rdn_safe = jnp.where(jnp.abs(rdn) < 1e-12, 1e-12, rdn)
     eta_c = eta[:, None] if eta.ndim == 1 else eta
+    # note: mu/dmu use 1/eta where the -eta*dwodx term uses eta — PBRT's
+    # reciprocal-eta formulas mixed with a direct-eta term. That mix is
+    # the REFERENCE's (tracing.glsl:142-147), ported verbatim for parity.
     mu = (vdn / eta - jnp.abs(rdn))[:, None]
     dmu_scale = (1.0 / eta + (1.0 / (eta * eta)) * vdn / rdn_safe)[:, None]
     rx_dir = _normalize(refracted_dir - eta_c * dwodx

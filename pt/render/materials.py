@@ -67,6 +67,10 @@ def sample_material(ds: DeviceScene, textures: DeviceTextures,
     specular = tex_a[..., :3] * p[..., F_SPECULAR:F_SPECULAR + 3]
     gloss = tex_b[..., 3] * p[..., F_GLOSS]
     sg_rough = 1.0 - gloss
+    # deliberately UNCLAMPED, matching the reference bug-for-bug
+    # (material.glsl:109-110): dark diffuse colors can push the derived
+    # metalness far outside [0,1] (even negative); the reference renders
+    # those materials the same way, so parity requires keeping it
     diff = jnp.maximum(specular - 0.04, 0.0) / ((color - 0.04) + 1e-5)
     sg_metal = jnp.mean(diff, axis=-1)
 

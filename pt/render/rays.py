@@ -34,7 +34,7 @@ class Rays(NamedTuple):
     direction: jax.Array   # (..., 3)
 
 
-def _unproject(d, inv_proj, inv_view):
+def _unproject(d, inv_proj):
     """Pixel NDC (..., 2) → world direction through inverse proj/view."""
     ndc = jnp.concatenate([d, jnp.ones_like(d)], axis=-1)       # (x, y, 1, 1)
     target = jnp.einsum("ij,...j->...i", inv_proj, ndc)[..., :3]
@@ -72,9 +72,9 @@ def construct_primary_rays(px, py, width, height, inv_view, inv_proj,
     dx = ndc(center + jnp.asarray([1.0, 0.0]))
     dy = ndc(center + jnp.asarray([0.0, 1.0]))
 
-    t0 = _unproject(d, inv_proj, inv_view)
-    tx = _unproject(dx, inv_proj, inv_view)
-    ty = _unproject(dy, inv_proj, inv_view)
+    t0 = _unproject(d, inv_proj)
+    tx = _unproject(dx, inv_proj)
+    ty = _unproject(dy, inv_proj)
 
     cam_origin = inv_view[:3, 3]
 

@@ -91,8 +91,15 @@ class TexturePoolBuilder:
         pixels = np.asarray(pixels, np.float32)
         if pixels.ndim == 2:
             pixels = pixels[..., None]
+        if pixels.shape[-1] == 1:                      # gray → RGB
+            pixels = np.repeat(pixels, 3, axis=-1)
+        elif pixels.shape[-1] == 2:                    # gray+alpha
+            pixels = np.concatenate(
+                [np.repeat(pixels[..., :1], 3, axis=-1), pixels[..., 1:]],
+                -1)
         if pixels.shape[-1] == 3:
             pixels = np.concatenate([pixels, np.ones_like(pixels[..., :1])], -1)
+        assert pixels.shape[-1] == 4, pixels.shape     # pool layout contract
         if srgb:
             pixels = np.concatenate([srgb_to_linear(pixels[..., :3]),
                                      pixels[..., 3:]], -1)
@@ -222,17 +229,14 @@ def sample_texture_grad(tex: DeviceTextures, tex_idx, uv, dudx_dvdx=None,
         return tex.data[tex.offsets[tex_idx, 0]]
     mip_count = tex.mip_counts[tex_idx]
     if dudx_dvdx is None:
-        level = jnp.zeros(uv.shape[:-1], jnp.float32)
-    else:
-        size0 = tex.sizes[tex_idx, 0].astype(jnp.float32)   # (N, 2)
-        px = dudx_dvdx * size0
-        py = dudy_dvdy * size0
-        rho = jnp.sqrt(jnp.maximum(jnp.sum(px * px, -1), jnp.sum(py * py, -1)))
-        level = jnp.log2(jnp.maximum(rho, 1e-12))
-    if dudx_dvdx is None:
         # explicit level-0 sampling: single bilinear fetch
         return _bilinear_at_level(tex, tex_idx, uv,
                                   jnp.zeros(uv.shape[:-1], jnp.int32))
+    size0 = tex.sizes[tex_idx, 0].astype(jnp.float32)       # (N, 2)
+    px = dudx_dvdx * size0
+    py = dudy_dvdy * size0
+    rho = jnp.sqrt(jnp.maximum(jnp.sum(px * px, -1), jnp.sum(py * py, -1)))
+    level = jnp.log2(jnp.maximum(rho, 1e-12))
     level = jnp.clip(level, 0.0, (mip_count - 1).astype(jnp.float32))
     lo = jnp.floor(level).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, mip_count - 1)
