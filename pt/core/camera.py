@@ -114,6 +114,11 @@ class InputCamera(Camera):
                  position, direction):
         super().__init__(vertical_fov_deg, near_clip, far_clip, position, direction,
                          up=(0.0, -1.0, 0.0))
+        # faithful to the reference (Core/Camera.cpp:77-78) INCLUDING its
+        # quirk: this is the NEGATION of the yaw rotate() reconstructs
+        # from (atan2(z,x)), so for directions with z != 0 the first
+        # mouse-look snaps to the z-mirrored view — the reference behaves
+        # identically, so parity keeps it
         self._yaw = math.degrees(math.atan2(self.direction[0], self.direction[2])
                                  - math.pi / 2)
         self._pitch = math.degrees(math.asin(np.clip(self.direction[1], -1, 1)))
@@ -180,9 +185,14 @@ class InputCamera(Camera):
 class AnimatedCamera(Camera):
     """Camera rigidly attached to a scene-graph node
     (≙ AnimatedCamera, Core/Camera.h:75-86). The node's current transform is
-    read each update; position/direction/up are relative to it. The reference
-    multiplies row-vector-style (`vec4 * mat`, Core/Camera.cpp:168-170)
-    because node transforms are stored transposed (mat3x4 rows)."""
+    read each update; position/direction/up are relative to it. The
+    reference multiplies row-vector-style (`vec4 * mat`,
+    Core/Camera.cpp:168-170) because ITS node transforms are stored
+    transposed (mat3x4 rows); pt's SceneGraph stores standard
+    column-vector matrices (pt/scene/graph.py), so the same semantics
+    here are column-vector — the earlier row-vector port dropped the
+    node's translation entirely (t[3,:3] is zero in standard matrices)
+    and applied rotations transposed."""
 
     def __init__(self, vertical_fov_deg: float, near_clip: float, far_clip: float,
                  position, direction, up, transform_provider):
@@ -195,10 +205,10 @@ class AnimatedCamera(Camera):
     def on_update(self, dt: float) -> bool:
         t = np.asarray(self._transform_provider(), dtype=np.float64)
         prev = (self.position.copy(), self.direction.copy(), self.up_direction.copy())
-        self.position = np.append(self._rel_position, 1.0) @ t[:3].T if t.shape == (3, 4) \
-            else (np.append(self._rel_position, 1.0) @ t)[:3]
-        self.direction = (np.append(self._rel_direction, 0.0) @ t)[:3]
-        self.up_direction = (np.append(self._rel_up, 0.0) @ t)[:3]
+        rot = t[:3, :3]
+        self.position = rot @ self._rel_position + t[:3, 3]
+        self.direction = rot @ self._rel_direction
+        self.up_direction = rot @ self._rel_up
         if not all(np.array_equal(a, b) for a, b in
                    zip(prev, (self.position, self.direction, self.up_direction))):
             self._update_inv_view()

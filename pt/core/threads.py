@@ -55,13 +55,24 @@ class ThreadDispatch:
         """
         cancel = cancel or threading.Event()
         counter = itertools.count()
+        errors: list = []
 
         def worker() -> None:
             while not cancel.is_set():
                 i = next(counter)
                 if i >= count:
                     return
-                fn(i)
+                try:
+                    fn(i)
+                except BaseException as exc:
+                    # an unguarded raise would silently kill this worker
+                    # (its remaining indices never processed, join()
+                    # reporting success); record it, log it, keep the
+                    # other items going
+                    import logging
+                    logging.getLogger("pt").exception(
+                        "dispatch item %d failed: %s", i, exc)
+                    errors.append(exc)
 
         def runner() -> None:
             threads = [threading.Thread(target=worker, daemon=True)
@@ -72,5 +83,6 @@ class ThreadDispatch:
                 t.join()
 
         outer = threading.Thread(target=runner, daemon=True)
+        outer.errors = errors        # inspectable after join()
         outer.start()
         return outer

@@ -45,6 +45,10 @@ class BackgroundTasks:
         with self._lock:
             self._tasks[task][1] += done
 
+    def set_progress(self, task: str, done: int) -> None:
+        with self._lock:
+            self._tasks[task][1] = done
+
     def progress(self, task: str):
         with self._lock:
             total, done = self._tasks[task]
@@ -59,10 +63,13 @@ class Application:
         set_config(self.config)
         self.tasks = BackgroundTasks()
         self.scene_manager = SceneManager()
+        self.scene_manager.on_scene_loaded(
+            lambda _scene: self.tasks.advance("SceneImport"))
         self.renderer = Renderer(
             min_refresh_rate=self.config.min_refresh_rate,
             max_samples_per_frame=self.config.max_samples_per_frame)
         self._running = False
+        self._idle_published = False
 
     # -- lifecycle -------------------------------------------------------
     def init(self, group: str = "Test Scenes", scene: str = "Default",
@@ -79,10 +86,17 @@ class Application:
     def set_scene(self, group: str, name: str, blocking: bool = True) -> None:
         self.tasks.begin("SceneImport", 1)
         self.scene_manager.set_active_scene(group, name, blocking=blocking)
-        sc = self.scene_manager.get_active_scene()
-        if sc is not None:
-            self.renderer.set_scene(sc)
-        self.tasks.advance("SceneImport")
+        if blocking:
+            sc = self.scene_manager.get_active_scene()
+            if sc is not None:
+                self.renderer.set_scene(sc)
+            self.tasks.advance("SceneImport")
+        # async: the manager keeps the PREVIOUS scene active until its
+        # worker finishes, so attaching here would re-upload the old
+        # scene and never show the new one — the run loop's Update step
+        # adopts the new active scene when it lands (≙ the reference
+        # reading SceneManager::GetActiveScene every frame), and the
+        # persistent on_scene_loaded callback advances the task counter.
 
     # -- interactive-ish loop --------------------------------------------
     def run(self, duration_seconds: float = 1.0,
@@ -109,7 +123,12 @@ class Application:
             dt = now - last
             last = now
             with Timer("Frame total"):
+                idle = False
                 with Timer("Update"):
+                    sc = self.scene_manager.get_active_scene()
+                    if sc is not None and sc is not self.renderer.scene:
+                        # an async scene switch finished: adopt it
+                        self.renderer.set_scene(sc)
                     cam_changed = anim_changed = False
                     if self.renderer.scene:
                         cam_changed, anim_changed = \
@@ -118,20 +137,29 @@ class Application:
                     if cam_changed:
                         # camera-only move: reset accumulation, keep accel
                         self.renderer.reset_accumulation()
+                    if cam_changed or anim_changed:
+                        self._idle_published = False
                 self.renderer.on_update(dt)
-                with Timer("Render"):
-                    if adaptive_tol is not None:
-                        stats = self.renderer.render_adaptive(
-                            tol=adaptive_tol,
-                            max_seconds=adaptive_frame_seconds,
-                            min_spp=4, check_every=1)
-                        if stats["steps"] == 0:
-                            # fully converged view: idle instead of
-                            # re-checking moments in a busy loop
-                            time.sleep(0.05)
+                # render()/render_adaptive() time themselves under the
+                # "Render" stat — wrapping them here again would double-
+                # count every frame on the same key
+                if adaptive_tol is not None:
+                    stats = self.renderer.render_adaptive(
+                        tol=adaptive_tol,
+                        max_seconds=adaptive_frame_seconds,
+                        min_spp=4, check_every=1)
+                    if stats["steps"] == 0:
+                        # fully converged still view: idle; after the
+                        # first converged publish the film cannot have
+                        # changed, so skip the postprocess+transfer too
+                        time.sleep(0.05)
+                        idle = self._idle_published
+                        self._idle_published = True
                     else:
-                        self.renderer.render()
-                if on_frame is not None:
+                        self._idle_published = False
+                else:
+                    self.renderer.render()
+                if on_frame is not None and not idle:
                     on_frame(self.renderer.snapshot(), self.renderer.total_samples)
             Stats.flush_timers()
             frames += 1
@@ -158,11 +186,15 @@ class Application:
         offline = OfflineRenderer(self.renderer)
 
         def wrapped_progress(frame, total, samples):
-            self.tasks._tasks["Rendering"][1] = frame
+            # frame is the 0-based index of the frame IN PROGRESS; the
+            # task counter reports completed frames
+            self.tasks.set_progress("Rendering", frame)
             if progress:
                 progress(frame, total, samples)
 
-        return offline.render(settings, wrapped_progress)
+        frames = offline.render(settings, wrapped_progress)
+        self.tasks.set_progress("Rendering", frames)
+        return frames
 
     def shutdown(self) -> None:
         self.scene_manager.wait()

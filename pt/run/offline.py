@@ -84,9 +84,30 @@ class OfflineRenderer:
                     if os.path.exists(ckpt):
                         try:
                             r.load_checkpoint(ckpt)
-                            Stats.add_stat(
-                                "Rendering",
-                                f"resumed at {r.total_samples} spp")
+                            want_adaptive = (
+                                settings.adaptive_tol is not None
+                                or settings.adaptive_target_mse is not None)
+                            have_adaptive = r._spp_map is not None
+                            if (r.total_samples
+                                    and want_adaptive != have_adaptive):
+                                # the film types are incompatible (an
+                                # adaptive resume needs the per-pixel
+                                # counts + moments); without this check
+                                # the render loop would silently reset
+                                # right after reporting a resume
+                                import logging
+                                logging.getLogger("pt").warning(
+                                    "checkpoint %s holds a%s film but "
+                                    "--adaptive is%s set: cannot resume, "
+                                    "starting fresh", ckpt,
+                                    "n adaptive" if have_adaptive
+                                    else " uniform",
+                                    "" if want_adaptive else " not")
+                                r.reset_accumulation()
+                            else:
+                                Stats.add_stat(
+                                    "Rendering",
+                                    f"resumed at {r.total_samples} spp")
                         except Exception as exc:
                             import logging
                             logging.getLogger("pt").warning(
@@ -108,8 +129,14 @@ class OfflineRenderer:
                         progress(frame, settings.frame_count,
                                  r.total_samples)
                 else:
-                    while not self._cancelled:
-                        r.render(settings.samples_per_step)
+                    while (not self._cancelled
+                           and r.total_samples < settings.max_sample_count):
+                        # clamp the last step so a resume never overshoots
+                        # the requested budget
+                        step = min(settings.samples_per_step,
+                                   settings.max_sample_count
+                                   - r.total_samples)
+                        r.render(step)
                         if progress:
                             progress(frame, settings.frame_count,
                                      r.total_samples)
@@ -140,10 +167,18 @@ class OfflineRenderer:
                 if settings.frame_count > 1 and r.scene is not None:
                     changed = r.scene.update(1.0 / out.framerate)
                     r.update_scene_data(scene_changed=changed)
+            completed = True
+        except BaseException:
+            completed = False
+            raise
         finally:
-            if self._cancelled:
+            if self._cancelled or not completed:
+                # cancelled OR died mid-render (Ctrl-C, OOM, ...): delete
+                # the partial output but KEEP a checkpoint so the render
+                # can resume — the old code treated any exception as
+                # success, finalizing the output and destroying the
+                # checkpoint the feature exists to protect
                 self.saver.cancel_output()
-                # keep the checkpoint: a cancelled long render can resume
                 if ckpt and r.total_samples > 0:
                     try:
                         r.save_checkpoint(ckpt)
