@@ -164,7 +164,9 @@ def debug_shade(ds: DeviceScene, tex: DeviceTextures, accel: Accel, hit,
     elif mode == DebugRenderMode.PRIMITIVE:
         color = _id_color(tri)
     elif mode == DebugRenderMode.INSTANCE:
-        color = _id_color(ds.tri_mat[tri])
+        # per-instance id (the earlier material-row coloring could not
+        # tell two instances of one model apart)
+        color = _id_color(ds.seg_instance[ds.vert_seg[ds.tri_idx[tri, 0]]])
     else:
         color = jnp.zeros((tri.shape[0], 3))
 

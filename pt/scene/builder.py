@@ -266,11 +266,15 @@ class SceneBuilder:
         SCENE_TEXTURE_OFFSET like the reference's texture map,
         Renderer.cpp:127-173)."""
         from pt.scene.types import SCENE_TEXTURE_OFFSET
-        if info.name in self._texture_names:
-            return self._texture_names[info.name]
+        # dedup by (name, role, colorspace): the same image used as both
+        # color and normal map must be two entries (different sRGB
+        # decode), and two roles sharing a bare filename must not collapse
+        key = (info.name, int(info.type), bool(info.is_srgb))
+        if key in self._texture_names:
+            return self._texture_names[key]
         self.textures.append(info)
         idx = SCENE_TEXTURE_OFFSET + len(self.textures) - 1
-        self._texture_names[info.name] = idx
+        self._texture_names[key] = idx
         return idx
 
     # -- models / instances ---------------------------------------------------

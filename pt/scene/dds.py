@@ -232,6 +232,11 @@ def decode_dds(data: bytes, info: Optional[DDSInfo] = None,
     """Decode a DDS file into its stored mip chain
     (list of (H, W, 4) float32, level 0 first)."""
     info = info or parse_dds(data)
+    if info.cube:
+        # decoding would silently return only face +X's chain; fail
+        # loudly so the caller falls back to the default texture instead
+        # of using one face as the whole texture
+        raise ValueError("cubemap DDS textures are not supported")
     levels: List[np.ndarray] = []
     pos = info.data_offset
     w, h = info.width, info.height

@@ -11,7 +11,8 @@ scenes actually use from FBX:
 * Objects/Geometry meshes: Vertices, PolygonVertexIndex (fan
   triangulation), LayerElementNormal / LayerElementUV in every
   mapping/reference combination (ByPolygonVertex, ByVertice, ByPolygon,
-  AllSame × Direct, IndexToDirect)
+  AllSame × Direct, IndexToDirect), LayerElementMaterial ByPolygon
+  (multi-material meshes split into one geometry per material)
 * Objects/Model transform: Lcl Translation / Rotation (euler XYZ,
   degrees) / Scaling, PreRotation, nested model hierarchy via OO
   connections
@@ -23,8 +24,9 @@ scenes actually use from FBX:
 
 Both container flavors parse: the binary format above and ASCII FBX
 (`Name: props { children }` records with `*N`/`a:` array blocks).
-Not supported (documented, like FBX-era assimp features pt's scenes
-never used): skin deformers, animation curves.
+Also supported: skin deformers (≤4 influences/vertex → bones + LBS) and
+animation curves (AnimationCurveNode/AnimationCurve → TRS keyframe
+clips).
 """
 
 from __future__ import annotations
@@ -582,13 +584,18 @@ def import_fbx(builder: SceneBuilder, path) -> None:
 
             # fan-triangulate: polygon ends at negative index (~x)
             corners: List[int] = []       # indices into pvi
+            tri_polys: List[int] = []     # polygon ordinal per triangle
             poly_start = 0
+            poly_ord = 0
             for i, v in enumerate(pvi):
                 if v < 0:
                     for k in range(poly_start + 1, i):
                         corners.extend((poly_start, k, k + 1))
+                        tri_polys.append(poly_ord)
                     poly_start = i + 1
+                    poly_ord += 1
             tri_corners = np.asarray(corners, np.int64)
+            tri_poly = np.asarray(tri_polys, np.int64)
             if len(tri_corners) == 0:
                 continue
             vert_ids = np.where(pvi < 0, -pvi - 1, pvi)[tri_corners]
@@ -609,29 +616,53 @@ def import_fbx(builder: SceneBuilder, path) -> None:
             else:
                 uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)
 
-            mat_id = mat_ids[0] if mat_ids else None
-            mid = build_material(mat_id)
+            # per-polygon material assignment (LayerElementMaterial
+            # ByPolygon): split the geometry per material so a
+            # multi-material mesh doesn't render wholly with its first
+            # material; AllSame / absent keeps the single-material path
+            tri_matidx = np.zeros(len(tri_poly), np.int64)
+            mat_layer = geo.find("LayerElementMaterial")
+            if mat_layer is not None and len(mat_ids) > 1:
+                mapping_node = mat_layer.find("MappingInformationType")
+                marr_node = mat_layer.find("Materials")
+                if (mapping_node is not None and marr_node is not None
+                        and mapping_node.props
+                        and str(mapping_node.props[0]) == "ByPolygon"
+                        and len(marr_node.props)):
+                    marr = np.asarray(marr_node.props[0], np.int64)
+                    if len(marr):
+                        tri_matidx = np.clip(marr, 0, len(mat_ids) - 1)[
+                            np.clip(tri_poly, 0, len(marr) - 1)]
+            mat_groups = np.unique(tri_matidx)
             skin = skin_weights(gid)
-            if skin is not None:
-                from pt.scene.builder import _make_tangents
-                bidx, bw = skin
-                tan, bit = _make_tangents(np.asarray(nrm, np.float32))
-                vbase = builder.add_animated_vertices(
-                    pos, uv.astype(np.float32), nrm.astype(np.float32),
-                    tan, bit, bidx[vert_ids], bw[vert_ids])
-                ibase = builder.add_animated_indices(
-                    np.arange(len(pos), dtype=np.uint32))
-                g = builder.add_geometry(Geometry(
-                    vbase, len(pos), ibase, len(pos), is_opaque=True,
-                    is_animated=True))
-            else:
-                vbase = builder.add_vertices(pos, uv.astype(np.float32),
-                                             nrm.astype(np.float32))
-                ibase = builder.add_indices(
-                    np.arange(len(pos), dtype=np.uint32))
-                g = builder.add_geometry(Geometry(vbase, len(pos), ibase,
-                                                  len(pos), is_opaque=True))
-            meshes.append(MeshInfo(g, mid))
+            for gmat in mat_groups:
+                csel = np.repeat(tri_matidx == gmat, 3)
+                gpos = pos[csel]
+                guv = uv[csel].astype(np.float32)
+                gnrm = nrm[csel].astype(np.float32)
+                mat_id = (mat_ids[int(gmat)] if int(gmat) < len(mat_ids)
+                          else (mat_ids[0] if mat_ids else None))
+                mid = build_material(mat_id)
+                if skin is not None:
+                    from pt.scene.builder import _make_tangents
+                    bidx, bw = skin
+                    tan, bit = _make_tangents(gnrm)
+                    gvids = vert_ids[csel]
+                    vbase = builder.add_animated_vertices(
+                        gpos, guv, gnrm, tan, bit,
+                        bidx[gvids], bw[gvids])
+                    ibase = builder.add_animated_indices(
+                        np.arange(len(gpos), dtype=np.uint32))
+                    g = builder.add_geometry(Geometry(
+                        vbase, len(gpos), ibase, len(gpos), is_opaque=True,
+                        is_animated=True))
+                else:
+                    vbase = builder.add_vertices(gpos, guv, gnrm)
+                    ibase = builder.add_indices(
+                        np.arange(len(gpos), dtype=np.uint32))
+                    g = builder.add_geometry(Geometry(
+                        vbase, len(gpos), ibase, len(gpos), is_opaque=True))
+                meshes.append(MeshInfo(g, mid))
         if meshes:
             builder.add_model_instance(builder.add_model(meshes),
                                        ensure_node(model_id))

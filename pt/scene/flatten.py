@@ -70,6 +70,7 @@ class DeviceScene:
     tri_opaque: jax.Array           # (T,) bool
 
     seg_transform: jax.Array        # (S, 4, 4) f32 world transform per segment
+    seg_instance: jax.Array         # (S,) i32 owning instance id (debug view)
 
     # unified material table
     mat_params: jax.Array           # (M, NUM_MAT_FIELDS) f32
@@ -189,6 +190,7 @@ def flatten_scene(scene: Scene) -> DeviceScene:
     positions, normals, tangents, bitangents, uvs = [], [], [], [], []
     vert_seg, tri_idx, tri_mat, tri_opaque = [], [], [], []
     seg_transforms: List[np.ndarray] = []
+    seg_instances: List[int] = []
 
     mat_rows, mid_to_row = _build_material_table(scene)
 
@@ -220,6 +222,7 @@ def flatten_scene(scene: Scene) -> DeviceScene:
             seg = len(seg_transforms)
             seg_transforms.append((inst_t @ np.asarray(mesh.transform, np.float64))
                                   .astype(np.float32))
+            seg_instances.append(inst_i)
             v = scene.animated_vertices if geo.is_animated else scene.vertices
             indices_src = (scene.animated_indices if geo.is_animated
                            else scene.indices)
@@ -261,6 +264,7 @@ def flatten_scene(scene: Scene) -> DeviceScene:
         tri_mat=jnp.asarray(cat(tri_mat)),
         tri_opaque=jnp.asarray(cat(tri_opaque)),
         seg_transform=jnp.asarray(np.stack(seg_transforms)),
+        seg_instance=jnp.asarray(np.asarray(seg_instances, np.int32)),
         mat_params=jnp.asarray(mat_rows["params"]),
         mat_tex=jnp.asarray(mat_rows["tex"]),
         mat_type=jnp.asarray(mat_rows["type"]),

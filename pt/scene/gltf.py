@@ -133,6 +133,11 @@ class GLTFFile:
             vals = np.frombuffer(self.buffer(vv["buffer"]), dtype,
                                  sc * ncomp, voff).reshape(sc, ncomp)
             out[idx] = vals
+        if acc.get("normalized") and np.issubdtype(dtype, np.integer):
+            # quantized attributes (gltfpack / KHR_mesh_quantization):
+            # integer data maps to [0,1] (unsigned) or [-1,1] (signed)
+            info = np.iinfo(dtype)
+            out = np.maximum(out.astype(np.float32) / float(info.max), -1.0)
         return out
 
 
@@ -269,7 +274,8 @@ class GLTFImporter:
         """MetallicRoughness by default; the specular-glossiness extension
         selects the reference's second material model
         (≙ ChooseMaterialType, SceneImporter.cpp:300-319)."""
-        name = m.get("name", f"material{i}") + f"#{i}"
+        name = (f"{self._gltf.path.stem}:"
+                + m.get("name", f"material{i}") + f"#{i}")
         ext = m.get("extensions", {})
         emissive = tuple(m.get("emissiveFactor", [0, 0, 0]))
         emissive_strength = ext.get("KHR_materials_emissive_strength", {}) \
@@ -463,7 +469,7 @@ class GLTFImporter:
         for j, joint in enumerate(joints):
             if joint in self._node_map:
                 mapping.append(self.b.add_bone(
-                    f"skin{skin_idx}:joint{joint}",
+                    f"{self._gltf.path.stem}:skin{skin_idx}:joint{joint}",
                     self._node_map[joint], ibms[j]))
             else:
                 mapping.append(0)

@@ -187,11 +187,11 @@ def export_glb(scene: Scene, path: str) -> None:
                 g["materials"].append(export_mr(name, mat,
                                                 mid in alpha_materials))
             else:
-                # approximate SG/Phong: export as MR with diffuse color
-                color = tuple(getattr(mat, "diffuse_color",
-                                      (1.0, 1.0, 1.0, 1.0)))
+                # approximate SG/Phong: export as MR with the diffuse
+                # color (the field is `color` on both dataclasses — a
+                # getattr fallback here once exported everything white)
                 g["materials"].append(export_mr(
-                    name, MetallicRoughnessMaterial(color=color),
+                    name, MetallicRoughnessMaterial(color=tuple(mat.color)),
                     mid in alpha_materials))
             mat_index[mid] = len(g["materials"]) - 1
 
@@ -200,6 +200,13 @@ def export_glb(scene: Scene, path: str) -> None:
     normals = np.asarray(scene.vertices.normals, np.float32)
     uvs = np.asarray(scene.vertices.tex_coords, np.float32)
     indices = np.asarray(scene.indices, np.uint32)
+    # skinned geometries index the ANIMATED pools (flatten.py switches on
+    # geo.is_animated); slicing them out of the static pools exported
+    # other meshes' vertices (or crashed on an empty slice)
+    a_positions = np.asarray(scene.animated_vertices.positions, np.float32)
+    a_normals = np.asarray(scene.animated_vertices.normals, np.float32)
+    a_uvs = np.asarray(scene.animated_vertices.tex_coords, np.float32)
+    a_indices = np.asarray(scene.animated_indices, np.uint32)
 
     for model in scene.models:
         prims = []
@@ -207,19 +214,27 @@ def export_glb(scene: Scene, path: str) -> None:
             geo = scene.geometries[mesh.geometry_index]
             vs, vc = geo.vertex_offset, geo.vertex_count
             is_, ic = geo.index_offset, geo.index_count
-            local_idx = indices[is_:is_ + ic]
+            if geo.is_animated:
+                local_idx = a_indices[is_:is_ + ic]
+            else:
+                local_idx = indices[is_:is_ + ic]
             xform = np.asarray(mesh.transform, np.float64)
-            pos = positions[vs:vs + vc]
-            nrm = normals[vs:vs + vc]
+            if geo.is_animated:
+                pos = a_positions[vs:vs + vc]
+                nrm = a_normals[vs:vs + vc]
+            else:
+                pos = positions[vs:vs + vc]
+                nrm = normals[vs:vs + vc]
             if not np.allclose(xform, np.eye(4)):
                 pos = (pos @ xform[:3, :3].T + xform[:3, 3]).astype(np.float32)
                 nrm = (nrm @ np.linalg.inv(xform[:3, :3])).astype(np.float32)
                 n = np.linalg.norm(nrm, axis=-1, keepdims=True)
                 nrm = nrm / np.maximum(n, 1e-12)
+            uv = (a_uvs if geo.is_animated else uvs)[vs:vs + vc]
             prim = {"attributes": {
                         "POSITION": w.add_f32(pos, "VEC3"),
                         "NORMAL": w.add_f32(nrm, "VEC3"),
-                        "TEXCOORD_0": w.add_f32(uvs[vs:vs + vc], "VEC2")},
+                        "TEXCOORD_0": w.add_f32(uv, "VEC2")},
                     "indices": w.add_indices(local_idx),
                     "material": mat_index[mesh.material_id]}
             prims.append(prim)

@@ -159,8 +159,12 @@ def import_obj(builder: SceneBuilder, path) -> None:
             ln = np.linalg.norm(fn)
             fn = fn / ln if ln > 1e-20 else np.asarray([0, 1, 0], np.float32)
             for corner in tri:
-                key = corner if corner[2] >= 0 else (corner[0], corner[1],
-                                                     len(flat_normals))
+                # flat-shaded corners get a sentinel that can never equal
+                # an authored vn index (a plain counter collided with
+                # real normal indices, silently reusing another corner's
+                # normal)
+                key = corner if corner[2] >= 0 else (
+                    corner[0], corner[1], -2 - len(flat_normals))
                 if key not in pool:
                     pool[key] = len(pos)
                     pos.append(vs_np[corner[0]])

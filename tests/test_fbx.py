@@ -370,3 +370,59 @@ class TestImport:
         assert np_.isfinite(img).all()
         bg = np_.asarray([0.1, 0.1, 0.12])
         assert (np_.abs(img - bg).sum(-1) > 1e-3).any(), "cube not visible"
+
+
+def test_multi_material_mesh_splits(tmp_path):
+    """LayerElementMaterial ByPolygon: a mesh whose polygons reference two
+    materials imports as two geometries, each bound to its own material —
+    not wholly the first one."""
+    verts = np.asarray([
+        [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+        [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float64)
+    polys = [(0, 1, 2, 3), (4, 7, 6, 5), (0, 4, 5, 1),
+             (2, 6, 7, 3), (0, 3, 7, 4), (1, 5, 6, 2)]
+    pvi = []
+    for p in polys:
+        pvi.extend(p[:-1])
+        pvi.append(~p[-1])
+    geometry = N("Geometry", [1001, "cube\x00\x01Geometry", "Mesh"], [
+        N("Vertices", [verts.reshape(-1)]),
+        N("PolygonVertexIndex", [np.asarray(pvi, np.int32)]),
+        N("LayerElementMaterial", [0], [
+            N("MappingInformationType", ["ByPolygon"]),
+            N("ReferenceInformationType", ["IndexToDirect"]),
+            N("Materials", [np.asarray([0, 0, 0, 1, 1, 1], np.int32)])])])
+    model = N("Model", [2001, "cube\x00\x01Model", "Mesh"], [])
+    mat_r = N("Material", [3001, "red\x00\x01Material", ""], [
+        N("Properties70", [], [
+            N("P", ["DiffuseColor", "Color", "", "A", 0.8, 0.2, 0.2]),
+            N("P", ["Opacity", "double", "Number", "", 1.0])])])
+    mat_g = N("Material", [3002, "green\x00\x01Material", ""], [
+        N("Properties70", [], [
+            N("P", ["DiffuseColor", "Color", "", "A", 0.1, 0.9, 0.1]),
+            N("P", ["Opacity", "double", "Number", "", 1.0])])])
+    objects = N("Objects", [], [geometry, model, mat_r, mat_g])
+    connections = N("Connections", [], [
+        N("C", ["OO", 1001, 2001]),
+        N("C", ["OO", 2001, 0]),
+        N("C", ["OO", 3001, 2001]),
+        N("C", ["OO", 3002, 2001])])
+
+    f = tmp_path / "two_mats.fbx"
+    write_fbx(f, [objects, connections])
+    from pt.scene.builder import SceneBuilder
+    from pt.scene.fbx import import_fbx
+    b = SceneBuilder()
+    import_fbx(b, f)
+    scene = b.create_scene()
+    assert len(scene.models) == 1
+    meshes = scene.models[0].meshes
+    assert len(meshes) == 2
+    assert len({m.material_id for m in meshes}) == 2
+    # 3 quads each -> 6 triangles -> 18 corners per geometry
+    counts = sorted(scene.geometries[m.geometry_index].vertex_count
+                    for m in meshes)
+    assert counts == [18, 18]
+    colors = sorted(tuple(round(c, 2) for c in mat.color[:3])
+                    for mat in scene.materials_ph)
+    assert (0.1, 0.9, 0.1) in colors and (0.8, 0.2, 0.2) in colors
