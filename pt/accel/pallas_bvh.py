@@ -399,14 +399,8 @@ def _make_closest_kernel_v6k2(n8: int, n_leaves: int, block: int,
                         t_cand, u_c, v_c, ids = _leaf_intersect(
                             leaf_vmem[s, slot], rays_mat[:, lanes], tmin,
                             t_lane, block)
-                        t_min = jnp.min(t_cand, axis=0, keepdims=True)
-                        better = t_min < t_lane
-                        at_min = (t_cand == t_min) & (t_cand < 1e30)
-                        selm = lambda a: jnp.max(
-                            jnp.where(at_min, a, -jnp.inf), axis=0,
-                            keepdims=True)
-                        sel_id = jnp.max(jnp.where(at_min, ids, -1),
-                                         axis=0, keepdims=True)
+                        t_min, better, sel_id, sel_u, sel_v = \
+                            _select_best_hit(t_cand, u_c, v_c, ids, t_lane)
                         t_new = jnp.where(better, t_min, t_lane)
                         sel_bits = jax.lax.bitcast_convert_type(
                             sel_id, jnp.float32)
@@ -415,10 +409,10 @@ def _make_closest_kernel_v6k2(n8: int, n_leaves: int, block: int,
                             better, sel_bits,
                             best_ref[brow + 1:brow + 2, :])
                         best_ref[brow + 2:brow + 3, :] = jnp.where(
-                            better, selm(u_c),
+                            better, sel_u,
                             best_ref[brow + 2:brow + 3, :])
                         best_ref[brow + 3:brow + 4, :] = jnp.where(
-                            better, selm(v_c),
+                            better, sel_v,
                             best_ref[brow + 3:brow + 4, :])
                         tcube_ref[s * 8:(s + 1) * 8, :] = \
                             lane_to_cube(t_new)
@@ -601,14 +595,8 @@ def _make_closest_kernel_v6(n8: int, n_leaves: int, block: int,
                         t_cand, u_c, v_c, ids = _leaf_intersect(
                             leaf_vmem[s], rays_mat[:, lanes], tmin,
                             t_lane, block)
-                        t_min = jnp.min(t_cand, axis=0, keepdims=True)
-                        better = t_min < t_lane
-                        at_min = (t_cand == t_min) & (t_cand < 1e30)
-                        selm = lambda a: jnp.max(
-                            jnp.where(at_min, a, -jnp.inf), axis=0,
-                            keepdims=True)
-                        sel_id = jnp.max(jnp.where(at_min, ids, -1),
-                                         axis=0, keepdims=True)
+                        t_min, better, sel_id, sel_u, sel_v = \
+                            _select_best_hit(t_cand, u_c, v_c, ids, t_lane)
                         t_new = jnp.where(better, t_min, t_lane)
                         sel_bits = jax.lax.bitcast_convert_type(
                             sel_id, jnp.float32)
@@ -617,10 +605,10 @@ def _make_closest_kernel_v6(n8: int, n_leaves: int, block: int,
                             better, sel_bits,
                             best_ref[brow + 1:brow + 2, :])
                         best_ref[brow + 2:brow + 3, :] = jnp.where(
-                            better, selm(u_c),
+                            better, sel_u,
                             best_ref[brow + 2:brow + 3, :])
                         best_ref[brow + 3:brow + 4, :] = jnp.where(
-                            better, selm(v_c),
+                            better, sel_v,
                             best_ref[brow + 3:brow + 4, :])
                         tcube_ref[s * 8:(s + 1) * 8, :] = \
                             lane_to_cube(t_new)
@@ -848,14 +836,8 @@ def _make_closest_kernel_v7(n8: int, n_leaves: int, block: int,
                     t_cand, u_c, v_c, ids = _leaf_intersect(
                         leaf_vmem[s, slot], rays_mat[:, lanes], tmin,
                         t_lim, block)
-                    t_min = jnp.min(t_cand, axis=0, keepdims=True)
-                    better = t_min < t_lim
-                    at_min = (t_cand == t_min) & (t_cand < 1e30)
-                    selm = lambda a: jnp.max(
-                        jnp.where(at_min, a, -jnp.inf), axis=0,
-                        keepdims=True)
-                    sel_id = jnp.max(jnp.where(at_min, ids, -1), axis=0,
-                                     keepdims=True)
+                    t_min, better, sel_id, sel_u, sel_v = \
+                        _select_best_hit(t_cand, u_c, v_c, ids, t_lim)
                     sel_bits = jax.lax.bitcast_convert_type(sel_id,
                                                             jnp.float32)
                     best_ref[brow:brow + 1, :] = jnp.where(
@@ -863,9 +845,9 @@ def _make_closest_kernel_v7(n8: int, n_leaves: int, block: int,
                     best_ref[brow + 1:brow + 2, :] = jnp.where(
                         better, sel_bits, best_ref[brow + 1:brow + 2, :])
                     best_ref[brow + 2:brow + 3, :] = jnp.where(
-                        better, selm(u_c), best_ref[brow + 2:brow + 3, :])
+                        better, sel_u, best_ref[brow + 2:brow + 3, :])
                     best_ref[brow + 3:brow + 4, :] = jnp.where(
-                        better, selm(v_c), best_ref[brow + 3:brow + 4, :])
+                        better, sel_v, best_ref[brow + 3:brow + 4, :])
                 return jnp.int32(0)
 
             jax.lax.fori_loop(0, max_q, body, jnp.int32(0))
@@ -1395,6 +1377,34 @@ def _leaf_intersect(page, rays_mat, tmin, t_limit, block=None):
     return tv, u, v, ids
 
 
+def _select_best_hit(t_cand, u_c, v_c, ids, t_lim):
+    """Single-winner best-hit selection over a leaf-intersect result.
+
+    t_cand (B, L) inf-masked candidate ts, u_c/v_c (B, L), ids (B, 1)
+    page triangle ids, t_lim (1, L) the per-lane current limit. Returns
+    (t_min, better, sel_id, sel_u, sel_v), each (1, L); outputs are only
+    meaningful where `better` (callers keep prior state elsewhere).
+
+    On an exact t tie between rows the SMALLEST triangle id wins —
+    matching the brute oracle's argmin (first occurrence) — and u/v are
+    taken from that same winning row. The previous per-component max
+    over all tying rows could pair one triangle's id with another
+    triangle's barycentrics (the "8/9216 shared-edge pixels" diff in
+    BASELINE.md). All ops (broadcast compare/and, masked max-reduce) are
+    shapes/types the kernels already lower; cost is +2 VPU ops per leaf
+    visit.
+    """
+    t_min = jnp.min(t_cand, axis=0, keepdims=True)
+    better = t_min < t_lim
+    at_min = (t_cand == t_min) & (t_cand < 1e30)
+    sel_id = jnp.min(jnp.where(at_min, ids, jnp.int32(0x7FFFFFFF)),
+                     axis=0, keepdims=True)
+    win = at_min & (ids == sel_id)
+    selw = lambda a: jnp.max(jnp.where(win, a, -jnp.inf), axis=0,
+                             keepdims=True)
+    return t_min, better, sel_id, selw(u_c), selw(v_c)
+
+
 def _make_closest_kernel(n_top: int, block: int, tmin: float):
     def kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                miss_ref, leaf_ref, pages_ref, rays_ref,
@@ -1431,17 +1441,12 @@ def _make_closest_kernel(n_top: int, block: int, tmin: float):
                 dma.wait()
                 t_cand, u_c, v_c, ids = _leaf_intersect(
                     leaf_vmem[:, :], rays_mat, tmin, t_best, block)
-                t_min = jnp.min(t_cand, axis=0, keepdims=True)   # (1, 1024)
-                better = t_min < t_best
-                at_min = (t_cand == t_min) & (t_cand < 1e30)
-                sel = lambda a: jnp.max(jnp.where(at_min, a, -jnp.inf),
-                                        axis=0, keepdims=True)
-                sel_id = jnp.max(jnp.where(at_min, ids, -1), axis=0,
-                                 keepdims=True)
+                t_min, better, sel_id, sel_u, sel_v = \
+                    _select_best_hit(t_cand, u_c, v_c, ids, t_best)
                 return (jnp.where(better, t_min, t_best),
                         jnp.where(better, sel_id, tri_best),
-                        jnp.where(better, sel(u_c), u_best),
-                        jnp.where(better, sel(v_c), v_best))
+                        jnp.where(better, sel_u, u_best),
+                        jnp.where(better, sel_v, v_best))
 
             t_best, tri_best, u_best, v_best = jax.lax.cond(
                 any_hit & is_leaf, do_leaf, lambda a: a,
@@ -1528,18 +1533,13 @@ def _make_closest_kernel_ordered(n_top: int, block: int, tmin: float):
                 dma.wait()
                 t_cand, u_c, v_c, ids = _leaf_intersect(
                     leaf_vmem[:, :], rays_mat, tmin, t_best, block)
-                t_min = jnp.min(t_cand, axis=0, keepdims=True)
-                better = t_min < t_best
-                at_min = (t_cand == t_min) & (t_cand < 1e30)
-                sel = lambda a: jnp.max(jnp.where(at_min, a, -jnp.inf),
-                                        axis=0, keepdims=True)
-                sel_id = jnp.max(jnp.where(at_min, ids, -1), axis=0,
-                                 keepdims=True)
+                t_min, better, sel_id, sel_u, sel_v = \
+                    _select_best_hit(t_cand, u_c, v_c, ids, t_best)
                 return (sp,
                         jnp.where(better, t_min, t_best),
                         jnp.where(better, sel_id, tri_best),
-                        jnp.where(better, sel(u_c), u_best),
-                        jnp.where(better, sel(v_c), v_best))
+                        jnp.where(better, sel_u, u_best),
+                        jnp.where(better, sel_v, v_best))
 
             def do_internal(args):
                 sp, t_best, tri_best, u_best, v_best = args
@@ -1653,13 +1653,8 @@ def _make_closest_kernel_subpacket(n_top: int, block: int, tmin: float):
                     dma.wait()
                     t_cand, u_c, v_c, ids = _leaf_intersect(
                         leaf_vmem[:, :], rays_mat[:, s], tmin, t_best[:, s], block)
-                    t_min = jnp.min(t_cand, axis=0, keepdims=True)
-                    better = t_min < t_best[:, s]
-                    at_min = (t_cand == t_min) & (t_cand < 1e30)
-                    selm = lambda a: jnp.max(
-                        jnp.where(at_min, a, -jnp.inf), axis=0, keepdims=True)
-                    sel_id = jnp.max(jnp.where(at_min, ids, -1), axis=0,
-                                     keepdims=True)
+                    t_min, better, sel_id, sel_u, sel_v = \
+                        _select_best_hit(t_cand, u_c, v_c, ids, t_best[:, s])
                     def upd(full, new):
                         # static-offset splice (Mosaic has no
                         # dynamic_update_slice; offsets are lane-tile
@@ -1674,9 +1669,9 @@ def _make_closest_kernel_subpacket(n_top: int, block: int, tmin: float):
                             upd(t_best, jnp.where(better, t_min, t_best[:, s])),
                             upd(tri_best, jnp.where(better, sel_id,
                                                     tri_best[:, s])),
-                            upd(u_best, jnp.where(better, selm(u_c),
+                            upd(u_best, jnp.where(better, sel_u,
                                                   u_best[:, s])),
-                            upd(v_best, jnp.where(better, selm(v_c),
+                            upd(v_best, jnp.where(better, sel_v,
                                                   v_best[:, s])))
 
                 def do_internal(args):
@@ -1827,14 +1822,8 @@ def _make_closest_kernel_v3(n_top: int, block: int, tmin: float,
                     t_lane = best_ref[brow:brow + 1, :]
                     t_cand, u_c, v_c, ids = _leaf_intersect(
                         leaf_vmem[:, :], rays_mat[:, lanes], tmin, t_lane, block)
-                    t_min = jnp.min(t_cand, axis=0, keepdims=True)
-                    better = t_min < t_lane
-                    at_min = (t_cand == t_min) & (t_cand < 1e30)
-                    selm = lambda a: jnp.max(
-                        jnp.where(at_min, a, -jnp.inf), axis=0,
-                        keepdims=True)
-                    sel_id = jnp.max(jnp.where(at_min, ids, -1), axis=0,
-                                     keepdims=True)
+                    t_min, better, sel_id, sel_u, sel_v = \
+                        _select_best_hit(t_cand, u_c, v_c, ids, t_lane)
                     t_new = jnp.where(better, t_min, t_lane)
                     tri_lane = best_ref[brow + 1:brow + 2, :]
                     u_lane = best_ref[brow + 2:brow + 3, :]
@@ -1845,9 +1834,9 @@ def _make_closest_kernel_v3(n_top: int, block: int, tmin: float,
                     best_ref[brow + 1:brow + 2, :] = jnp.where(
                         better, sel_bits, tri_lane)
                     best_ref[brow + 2:brow + 3, :] = jnp.where(
-                        better, selm(u_c), u_lane)
+                        better, sel_u, u_lane)
                     best_ref[brow + 3:brow + 4, :] = jnp.where(
-                        better, selm(v_c), v_lane)
+                        better, sel_v, v_lane)
                     tcube_ref[s * 8:(s + 1) * 8, :] = lane_to_cube(t_new)
                     return sp
 
@@ -2054,14 +2043,8 @@ def _make_closest_kernel_v4(n_top: int, block: int, tmin: float,
                         t_cand, u_c, v_c, ids = _leaf_intersect(
                             leaf_vmem[s], rays_mat[:, lanes], tmin,
                             t_lane, block)
-                        t_min = jnp.min(t_cand, axis=0, keepdims=True)
-                        better = t_min < t_lane
-                        at_min = (t_cand == t_min) & (t_cand < 1e30)
-                        selm = lambda a: jnp.max(
-                            jnp.where(at_min, a, -jnp.inf), axis=0,
-                            keepdims=True)
-                        sel_id = jnp.max(jnp.where(at_min, ids, -1),
-                                         axis=0, keepdims=True)
+                        t_min, better, sel_id, sel_u, sel_v = \
+                            _select_best_hit(t_cand, u_c, v_c, ids, t_lane)
                         t_new = jnp.where(better, t_min, t_lane)
                         sel_bits = jax.lax.bitcast_convert_type(
                             sel_id, jnp.float32)
@@ -2070,10 +2053,10 @@ def _make_closest_kernel_v4(n_top: int, block: int, tmin: float,
                             better, sel_bits,
                             best_ref[brow + 1:brow + 2, :])
                         best_ref[brow + 2:brow + 3, :] = jnp.where(
-                            better, selm(u_c),
+                            better, sel_u,
                             best_ref[brow + 2:brow + 3, :])
                         best_ref[brow + 3:brow + 4, :] = jnp.where(
-                            better, selm(v_c),
+                            better, sel_v,
                             best_ref[brow + 3:brow + 4, :])
                         tcube_ref[s * 8:(s + 1) * 8, :] = \
                             lane_to_cube(t_new)
@@ -2268,14 +2251,8 @@ def _make_closest_kernel_bf8(n8: int, n_leaves: int, block: int,
                         t_cand, u_c, v_c, ids = _leaf_intersect(
                             leaf_vmem[s], rays_mat[:, lanes], tmin,
                             t_lane, block)
-                        t_min = jnp.min(t_cand, axis=0, keepdims=True)
-                        better = t_min < t_lane
-                        at_min = (t_cand == t_min) & (t_cand < 1e30)
-                        selm = lambda a: jnp.max(
-                            jnp.where(at_min, a, -jnp.inf), axis=0,
-                            keepdims=True)
-                        sel_id = jnp.max(jnp.where(at_min, ids, -1),
-                                         axis=0, keepdims=True)
+                        t_min, better, sel_id, sel_u, sel_v = \
+                            _select_best_hit(t_cand, u_c, v_c, ids, t_lane)
                         t_new = jnp.where(better, t_min, t_lane)
                         sel_bits = jax.lax.bitcast_convert_type(
                             sel_id, jnp.float32)
@@ -2284,10 +2261,10 @@ def _make_closest_kernel_bf8(n8: int, n_leaves: int, block: int,
                             better, sel_bits,
                             best_ref[brow + 1:brow + 2, :])
                         best_ref[brow + 2:brow + 3, :] = jnp.where(
-                            better, selm(u_c),
+                            better, sel_u,
                             best_ref[brow + 2:brow + 3, :])
                         best_ref[brow + 3:brow + 4, :] = jnp.where(
-                            better, selm(v_c),
+                            better, sel_v,
                             best_ref[brow + 3:brow + 4, :])
                         tcube_ref[s * 8:(s + 1) * 8, :] = \
                             lane_to_cube(t_new)

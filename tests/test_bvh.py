@@ -112,3 +112,48 @@ def test_packet_bvh_build_structure():
     # leaf AABBs contain their triangles
     leaf_rows = np.asarray(pbvh.top_leaf)
     assert (np.sort(leaf_rows[leaf_rows >= 0]) == np.arange(n_leaves)).all()
+
+
+def test_select_best_hit_tie_consistency():
+    """On an exact t tie the winner is ONE row — the smallest triangle id,
+    matching intersect_brute's argmin — and u/v come from that same row
+    (the old per-component max could mix rows; BASELINE.md's 8/9216
+    shared-edge diff)."""
+    from pt.accel.pallas_bvh import _select_best_hit
+
+    B, L = 4, 8
+    inf = jnp.inf
+    t = jnp.full((B, L), inf).at[:, :4].set(jnp.asarray([
+        # lane0: unique best row 2; lane1: rows 1&3 tie; lane2: no hit
+        # (all inf); lane3: tie at exactly the limit (not better)
+        [5.0, 2.0, inf, 7.0],
+        [1.0, 1.5, inf, 7.0],
+        [0.5, 9.0, inf, 8.0],
+        [3.0, 1.5, inf, 7.0],
+    ]))
+    ids = jnp.asarray([[30], [11], [7], [23]], jnp.int32)
+    u = jnp.asarray(np.tile(np.asarray([[.1], [.2], [.3], [.4]],
+                                       np.float32), (1, L)))
+    v = u * 10.0
+    t_lim = jnp.full((1, L), 7.0)
+
+    t_min, better, sel_id, sel_u, sel_v = _select_best_hit(t, u, v, ids,
+                                                           t_lim)
+    assert t_min.shape == better.shape == sel_id.shape == (1, L)
+    # lane 0: row 2 wins uniquely
+    assert bool(better[0, 0]) and int(sel_id[0, 0]) == 7
+    assert np.isclose(float(sel_u[0, 0]), 0.3)
+    assert np.isclose(float(sel_v[0, 0]), 3.0)
+    # lane 1: rows 1 (id 11) and 3 (id 23) tie at t=1.5 -> min id 11,
+    # and u/v must BOTH come from row 1 (old code gave u=.4 from row 3)
+    assert bool(better[0, 1]) and int(sel_id[0, 1]) == 11
+    assert np.isclose(float(sel_u[0, 1]), 0.2)
+    assert np.isclose(float(sel_v[0, 1]), 2.0)
+    # lane 2: no candidate -> not better
+    assert not bool(better[0, 2])
+    # lane 3: best equals the limit -> not better
+    assert not bool(better[0, 3])
+    # masked limit (-inf, exhausted drain queue) can never improve
+    _, b2, _, _, _ = _select_best_hit(t, u, v, ids,
+                                      jnp.full((1, L), -inf))
+    assert not np.asarray(b2).any()
