@@ -833,8 +833,16 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
         hit = type(hit_s)(hit_s.t[inv], hit_s.tri[inv], hit_s.u[inv],
                           hit_s.v[inv])
     elif not ds.has_alpha:
-        hit = trace_closest(accel.bvh, accel.wpos, ds.tri_idx, origin,
-                            direction)
+        # degenerate dead lanes (terminated between compaction replans):
+        # they never vote in the packet slab tests, so subs full of dead
+        # lanes finish in fewer lockstep rounds. Dead lanes' hits are
+        # never read (everything below is gated on `alive`) — this is
+        # film-bit-exact.
+        o_c, d_c, t_c = _degenerate_masked(
+            accel.bvh, origin, direction,
+            jnp.full(origin.shape[:1], TMAX, jnp.float32), alive)
+        hit = trace_closest(accel.bvh, accel.wpos, ds.tri_idx, o_c,
+                            d_c, t_c)
     missed = alive & ~hit.is_hit
 
     # miss: add skybox emissive, terminate (raygen.rgen:73-77)
@@ -856,6 +864,13 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     # light's 1e5 sentinel distance otherwise forces unoccluded rays to
     # walk every overlapping BVH leaf (occlusion cannot t-prune).
     shadow_dir = -_normalize(payload["light_dir"])
+    # shadow rays whose NEE contribution is identically zero (light pdf 0,
+    # or a backfacing/zero-BSDF light sample → direct_light == 0) cannot
+    # affect the film regardless of occlusion — skip tracing them.
+    # ≙ the reference simply traces (raygen.rgen:81-83); skipping is
+    # film-bit-exact and consumes no RNG.
+    shadow_live = (active & (payload["light_pdf"] > 0.0)
+                   & jnp.any(payload["direct_light"] != 0.0, axis=-1))
     bounds = _root_bounds(accel.bvh)
     if bounds is not None:
         # round-1 bug: this clamp only fired for PacketBVH, but production
@@ -870,10 +885,8 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     if ds.has_alpha:
         occluded = trace_occluded_alpha(ds, tex, accel,
                                         payload["next_origin"], shadow_dir,
-                                        light_dist,
-                                        active & (payload["light_pdf"] > 0.0))
+                                        light_dist, shadow_live)
     elif sort_packets:
-        shadow_live = active & (payload["light_pdf"] > 0.0)
         so_s = jnp.where(shadow_live[perm][:, None],
                          payload["next_origin"][perm], outside)
         sd_s = jnp.where(shadow_live[perm][:, None], shadow_dir[perm],
@@ -883,12 +896,15 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
                                so_s, sd_s, sdist_s)
         occluded = occ_s[inv]
     else:
+        # degenerate skipped shadow lanes (same trick as the closest
+        # trace above): they never vote in the slab tests
+        so, sd, sdist = _degenerate_masked(
+            accel.bvh, payload["next_origin"], shadow_dir, light_dist,
+            shadow_live)
         occluded = trace_occluded(accel.bvh, accel.wpos, ds.tri_idx,
-                                  payload["next_origin"], shadow_dir,
-                                  light_dist)
-    rays = rays + jnp.sum((active & (payload["light_pdf"] > 0.0))
-                          .astype(jnp.int32))
-    nee_ok = active & (payload["light_pdf"] > 0.0) & ~occluded
+                                  so, sd, sdist)
+    rays = rays + jnp.sum(shadow_live.astype(jnp.int32))
+    nee_ok = shadow_live & ~occluded
     radiance = radiance + jnp.where(
         nee_ok[..., None],
         throughput * payload["direct_light"]
