@@ -126,6 +126,11 @@ class BF8BVH:
     # that gates leaf intersects; without it leaves intersect always)
     leaf_retest: bool = dataclasses.field(metadata=dict(static=True),
                                           default=True)
+    # scene root AABB, recorded at build time so traced consumers
+    # (dead-lane degeneration, shadow-distance clamps) don't re-reduce
+    # the child-bounds table (None on structures built before the field)
+    root_lo: jax.Array | None = None     # (3,) f32
+    root_hi: jax.Array | None = None     # (3,) f32
 
 
 def build_bf8(pbvh: PacketBVH):
@@ -202,7 +207,8 @@ def build_bf8(pbvh: PacketBVH):
                   c_ent=jnp.asarray(c_ent),
                   l_lo=jnp.asarray(l_lo), l_hi=jnp.asarray(l_hi),
                   pages=pbvh.pages, n8=n8, n_leaves=n_leaves,
-                  block=pbvh.block, leaf_retest=leaf_retest)
+                  block=pbvh.block, leaf_retest=leaf_retest,
+                  root_lo=jnp.asarray(lo[0]), root_hi=jnp.asarray(hi[0]))
 
 
 @jax.tree_util.register_dataclass
@@ -227,6 +233,9 @@ class BF8V6:
     n_leaves: int = dataclasses.field(metadata=dict(static=True), default=0)
     block: int = dataclasses.field(metadata=dict(static=True),
                                    default=TRIS_PER_BLOCK)
+    # scene root AABB recorded at build time (see BF8BVH.root_lo)
+    root_lo: jax.Array | None = None     # (3,) f32
+    root_hi: jax.Array | None = None     # (3,) f32
 
 
 def build_bf8_v6(pbvh: PacketBVH):
@@ -266,7 +275,8 @@ def build_bf8_v6(pbvh: PacketBVH):
     u_hi = np.concatenate([c_hi, l_hi], axis=0)
     return BF8V6(u_lo=jnp.asarray(u_lo), u_hi=jnp.asarray(u_hi),
                  c_ent=b8.c_ent, c_order=jnp.asarray(orders),
-                 pages=b8.pages, n8=n8, n_leaves=n_leaves, block=b8.block)
+                 pages=b8.pages, n8=n8, n_leaves=n_leaves, block=b8.block,
+                 root_lo=b8.root_lo, root_hi=b8.root_hi)
 
 
 def _make_closest_kernel_v6k2(n8: int, n_leaves: int, block: int,

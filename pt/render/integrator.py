@@ -265,10 +265,11 @@ def _root_bounds(bvh):
     XLA/brute backends). Wide structures mask their 1e30 empty slots."""
     if isinstance(bvh, PacketBVH):
         return bvh.top_lo[0], bvh.top_hi[0]
-    if isinstance(bvh, BF8BVH):
-        lo, hi = bvh.c_lo, bvh.c_hi
-    elif isinstance(bvh, BF8V6):
-        lo, hi = bvh.u_lo, bvh.u_hi
+    if isinstance(bvh, (BF8BVH, BF8V6)):
+        if bvh.root_lo is not None:       # recorded at build time
+            return bvh.root_lo, bvh.root_hi
+        lo, hi = ((bvh.c_lo, bvh.c_hi) if isinstance(bvh, BF8BVH)
+                  else (bvh.u_lo, bvh.u_hi))
     else:
         return None
     valid = lo[:, 0] < 1e29
