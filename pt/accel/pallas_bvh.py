@@ -2199,7 +2199,7 @@ def _make_closest_kernel_bf8(n8: int, n_leaves: int, block: int,
             return total > 0
 
         def body(state):
-            sps, rounds = state
+            sps, rounds, done_at = state
 
             # phase 0: scalar pop/classify + leaf DMA prefetch
             popped = []
@@ -2297,7 +2297,10 @@ def _make_closest_kernel_bf8(n8: int, n_leaves: int, block: int,
                 res = jax.lax.cond(is_leaf, do_leaf, do_internal, spp)
                 new_sps.append(jnp.where(live, res, jnp.int32(0)))
 
-            return (tuple(new_sps), rounds + 1)
+            new_done = tuple(
+                jnp.where(popped[s][5], rounds + 1, done_at[s])
+                for s in range(n_sub))  # last round each sub was live
+            return (tuple(new_sps), rounds + 1, new_done)
 
         minus1 = jax.lax.bitcast_convert_type(
             jnp.full((1, 1024), -1, jnp.int32), jnp.float32)
@@ -2311,16 +2314,23 @@ def _make_closest_kernel_bf8(n8: int, n_leaves: int, block: int,
             best_ref[s * 4 + 3:s * 4 + 4, :] = jnp.zeros((1, 1024),
                                                          jnp.float32)
             tcube_ref[s * 8:(s + 1) * 8, :] = cube_ref[s * 8 + 7]
-        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0))
-        _, rounds = jax.lax.while_loop(cond, body, init)
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0),
+                tuple(jnp.int32(0) for _ in range(n_sub)))
+        _, rounds, done_at = jax.lax.while_loop(cond, body, init)
         cat = lambda i: jnp.concatenate(
             [best_ref[s * 4 + i:s * 4 + i + 1, :] for s in range(n_sub)],
             axis=1)
         width = n_sub * 1024
+        # row 5: per-sub completion round (diagnostic — the lockstep round
+        # after which each 1024-ray sub's stack drained; rounds == max)
+        done_row = jnp.concatenate(
+            [jnp.full((1, 1024), done_at[s], jnp.float32)
+             for s in range(n_sub)], axis=1)
         out_ref[:] = jnp.concatenate(
             [cat(0), cat(1), cat(2), cat(3),
              jnp.full((1, width), rounds, jnp.float32),
-             jnp.zeros((3, width), jnp.float32)], axis=0)
+             done_row,
+             jnp.zeros((2, width), jnp.float32)], axis=0)
 
     return kernel
 
