@@ -39,13 +39,23 @@ def _make(scene, width, height, bounces, spp=4):
     return renderer
 
 
-def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
-    renderer = _make(scene, width, height, bounces)
-    # warmup: compiles the kernels AND the compaction size classes the
-    # plan discovers after the first step (each class is a cached variant)
+def _warm(renderer) -> None:
+    """Compile everything a steady-state step touches BEFORE any clock
+    starts: render(1) compiles the kernels and observes the live counts;
+    the second render applies the discovered compaction plan (compiling
+    each size-class variant of bounce/compact/scatter); the third
+    confirms steady state. Round 2's spp/TTC riders warmed with ONE
+    render, so their timed steps paid those first-compiles — the
+    20x-adaptive-speedup inconsistency VERDICT round-2 task 2 flagged."""
     renderer.render(1)
     renderer.render()
     renderer.render()
+    _ = renderer.rays_traced                 # sync before any clock
+
+
+def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
+    renderer = _make(scene, width, height, bounces)
+    _warm(renderer)
     start_rays = renderer.rays_traced
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -56,10 +66,12 @@ def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
 
 
 def measure_spp_rate(scene, width, height, steps=2, spp=1) -> float:
-    """Samples-per-pixel per second (the BASELINE.json 'spp/sec' metric)."""
+    """Samples-per-pixel per second (the BASELINE.json 'spp/sec' metric).
+    Warmed identically to measure(): all compaction size classes compile
+    before the clock, so TTC(uniform) = SPP_CONVERGED / rate is a warm
+    number comparable to the adaptive TTC below."""
     renderer = _make(scene, width, height, bounces=5, spp=spp)
-    renderer.render()
-    _ = renderer.rays_traced                 # sync before the clock
+    _warm(renderer)
     t0 = time.perf_counter()
     for _ in range(steps):
         renderer.render()
@@ -70,9 +82,17 @@ def measure_spp_rate(scene, width, height, steps=2, spp=1) -> float:
 
 def measure_adaptive_ttc(scene, width=256, height=256) -> float:
     """Measured wall time of a global-MSE-targeted adaptive render
-    (render_adaptive target_mse=7e-4 — the point measured at film MSE
-    ~1.0e-3 vs a 1024-spp reference in benches/adaptive_ab.py; 1.14x
-    faster than uniform accumulation to spp*). Second run timed."""
+    (render_adaptive target_mse=7e-4). NOTE: 7e-4 is COURTYARD-CALIBRATED
+    at 256^2 — the estimator target measured to land at true film MSE
+    ~1.0e-3 vs a 1024-spp reference (benches/adaptive_ab.py; the ~1.4x
+    gap is the pooled-variance estimator's firefly bias plus the
+    reference's own noise floor, docs/perf_budget.md section 9.3). On
+    other content this target measures a different true-MSE point than
+    SPP_CONVERGED does; re-calibrate via benches/convergence.py +
+    adaptive_ab.py before comparing across scenes. Second run timed
+    (first compiles; reset clears the compaction plan, so the timed run
+    pays re-observation syncs but no compiles — same as uniform's
+    steady state)."""
     renderer = _make(scene, width, height, bounces=5, spp=4)
     renderer.render_adaptive(target_mse=7e-4, max_spp=512, min_spp=16)
     renderer.reset_accumulation()
