@@ -94,6 +94,20 @@ class PathTracingSettings:
     # also measured negative (docs/perf_budget.md §2), so the knob is
     # intentionally inert there.
     sort_rays: bool = False
+    # NEE shadow rays toward POINT lights are traced reversed (origin at
+    # the sampled light point, direction toward the surface): occlusion
+    # is segment-symmetric, and reversed cones share one origin per
+    # light, so the packet kernels' slab tests see a tight frustum
+    # instead of scattered origins (directional-light lanes already
+    # share one direction and stay unreversed). Film-identical up to a
+    # TMIN-sliver at the segment ends. A/B: docs/perf_budget.md §11.
+    reverse_point_shadows: bool = True
+    # Russian-roulette aggressiveness: survival = min(maxcomp(tp)/rr_scale, 1).
+    # 1.0 ≙ the reference rule (raygen.rgen:88-97). >1 truncates the
+    # low-contribution incoherent tail harder (VERDICT round-2 lever (a)):
+    # unbiased (1/p compensation), costs variance — only worth it if
+    # time-to-converged improves; see docs/perf_budget.md §11.
+    rr_scale: float = 1.0
 
 
 class AlphaSplit(NamedTuple):
@@ -467,13 +481,24 @@ def trace_closest_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
 
 
 def _trace_occluded_alpha_split(ds: DeviceScene, tex: DeviceTextures, accel,
-                                sp: AlphaSplit, origins, dirs, dist, alive):
-    """Split-tree shadow query (see trace_occluded_alpha docstring)."""
+                                sp: AlphaSplit, origins, dirs, dist, alive,
+                                reverse=None):
+    """Split-tree shadow query (see trace_occluded_alpha docstring).
+    `reverse` marks lanes whose opaque-tree query runs light→surface
+    (segment-symmetric; see PathTracingSettings.reverse_point_shadows).
+    The alpha rounds below need closest-hit ordering from the surface,
+    so they always run unreversed."""
     n = origins.shape[0]
     live = jnp.ones((n,), bool) if alive is None else alive
     dist_b = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (n,))
-    o_t, d_t, t_t = _degenerate_masked(sp.bvh_opaque, origins, dirs,
-                                       dist_b, live)
+    o_o, d_o, t_o = origins, dirs, dist_b
+    if reverse is not None:
+        rev = live & reverse
+        o_o = jnp.where(rev[:, None], origins + dirs * dist_b[:, None],
+                        origins)
+        d_o = jnp.where(rev[:, None], -dirs, dirs)
+        t_o = jnp.where(rev, dist_b - TMIN, dist_b)
+    o_t, d_t, t_t = _degenerate_masked(sp.bvh_opaque, o_o, d_o, t_o, live)
     occluded = live & trace_occluded(sp.bvh_opaque, accel.wpos,
                                      sp.tri_opaque, o_t, d_t, t_t)
 
@@ -499,7 +524,7 @@ def _trace_occluded_alpha_split(ds: DeviceScene, tex: DeviceTextures, accel,
 
 
 def trace_occluded_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
-                         origins, dirs, dist, alive=None):
+                         origins, dirs, dist, alive=None, reverse=None):
     """Shadow query honoring alpha: any surface with α < 1 passes light
     (≙ occlusionAnyhit.rahit:51-53). `alive` masks lanes that need no
     shadow query at all (their packets degenerate).
@@ -523,7 +548,7 @@ def trace_occluded_alpha(ds: DeviceScene, tex: DeviceTextures, accel,
     if accel.alpha_split is not None:
         return _trace_occluded_alpha_split(ds, tex, accel,
                                            accel.alpha_split, origins,
-                                           dirs, dist, alive)
+                                           dirs, dist, alive, reverse)
     n = origins.shape[0]
     pending = jnp.ones((n,), bool) if alive is None else alive
     occluded = jnp.zeros((n,), bool)
@@ -768,6 +793,7 @@ def _shade_hit(ds: DeviceScene, tex: DeviceTextures, accel: Accel, hit,
         light_dir=light.direction,
         light_dist=light.distance,
         light_pdf=light.pdf,
+        light_is_dir=light.is_directional,
         direct_light=light.color * light.attenuation[..., None] * light_bsdf,
     )
 
@@ -883,10 +909,13 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
                          payload["next_origin"], shadow_dir) + 1e-3)
     else:
         light_dist = payload["light_dist"]
+    reverse = (~payload["light_is_dir"] if settings.reverse_point_shadows
+               else None)
     if ds.has_alpha:
         occluded = trace_occluded_alpha(ds, tex, accel,
                                         payload["next_origin"], shadow_dir,
-                                        light_dist, shadow_live)
+                                        light_dist, shadow_live,
+                                        reverse=reverse)
     elif sort_packets:
         so_s = jnp.where(shadow_live[perm][:, None],
                          payload["next_origin"][perm], outside)
@@ -897,11 +926,22 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
                                so_s, sd_s, sdist_s)
         occluded = occ_s[inv]
     else:
+        so_f, sd_f, st_f = payload["next_origin"], shadow_dir, light_dist
+        if reverse is not None:
+            # point-light lanes trace light→surface: reversed cones
+            # share one origin per light (a tight frustum for the slab
+            # tests) instead of scattered hit-point origins. The pivot is
+            # the (AABB-clamped) segment end; the -TMIN limit excludes
+            # the shading surface the forward trace excluded via tmin.
+            rev = shadow_live & reverse
+            so_f = jnp.where(rev[:, None],
+                             so_f + shadow_dir * light_dist[:, None], so_f)
+            sd_f = jnp.where(rev[:, None], -shadow_dir, sd_f)
+            st_f = jnp.where(rev, light_dist - TMIN, st_f)
         # degenerate skipped shadow lanes (same trick as the closest
         # trace above): they never vote in the slab tests
         so, sd, sdist = _degenerate_masked(
-            accel.bvh, payload["next_origin"], shadow_dir, light_dist,
-            shadow_live)
+            accel.bvh, so_f, sd_f, st_f, shadow_live)
         occluded = trace_occluded(accel.bvh, accel.wpos, ds.tri_idx,
                                   so, sd, sdist)
     rays = rays + jnp.sum(shadow_live.astype(jnp.int32))
@@ -921,8 +961,12 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
         throughput)
 
     # Russian roulette (raygen.rgen:88-97); continuation rand drawn only on
-    # lanes that reach it (masked state advance)
-    prob = jnp.minimum(jnp.max(throughput, axis=-1), 1.0)
+    # lanes that reach it (masked state advance). rr_scale > 1 truncates
+    # the tail harder than the reference rule (see PathTracingSettings).
+    prob = jnp.max(throughput, axis=-1)
+    if settings.rr_scale != 1.0:
+        prob = prob * (1.0 / settings.rr_scale)
+    prob = jnp.minimum(prob, 1.0)
     dead_small = prob < 0.001
     need_rr = active & ~dead_small
     rr_state = prng.xorshift(state)

@@ -62,6 +62,7 @@ class LightSample(NamedTuple):
     color: jax.Array        # (..., 3)
     attenuation: jax.Array  # (...,)
     pdf: jax.Array          # (...,) uniform 1/(count+1)
+    is_directional: jax.Array  # (...,) bool — picked the directional light
 
 
 def sample_light(u1, u2, u3, position, point_color, point_pos, point_atten,
@@ -111,4 +112,5 @@ def sample_light(u1, u2, u3, position, point_color, point_pos, point_atten,
         color=jnp.where(sel, jnp.broadcast_to(dir_color, position.shape), lcolor),
         attenuation=jnp.where(is_dir, 1.0, atten_p),
         pdf=jnp.broadcast_to(pdf, u1.shape),
+        is_directional=is_dir,
     )

@@ -47,7 +47,14 @@ def _prepare_jit(ds: DeviceScene, settings: PathTracingSettings) -> Accel:
 @functools.partial(jax.jit, static_argnames=("settings",))
 def _prepare_attribs_jit(ds: DeviceScene, settings: PathTracingSettings):
     """World vertices + packed per-triangle attributes, no BVH (the BVH is
-    supplied by the native SAH builder for static scenes)."""
+    supplied by the native SAH builder for static scenes).
+
+    backend="brute" here means prepare_accel builds NO acceleration
+    structure at all (brute ⇒ Accel.bvh is None — see resolve_backend /
+    prepare_accel); nothing is built and discarded. The packed tri_* rows
+    it does compute are the per-hit shading attribute tables (one fat row
+    gather per hit, see Accel docstring) — load-bearing on every path,
+    not a brute-intersection table (intersect_brute reads wpos+tri_idx)."""
     import dataclasses as _dc
     accel = prepare_accel(ds, _dc.replace(settings, backend="brute"))
     return accel
@@ -74,6 +81,18 @@ def _accumulate_jit(carry: BounceCarry, accum, rays_total, film_perm):
     flat = accum.reshape(-1, 3)
     from pt.render.integrator import _finite_or_zero
     flat = flat.at[film_perm].add(_finite_or_zero(carry.radiance))
+    return flat.reshape(accum.shape), rays_total + carry.rays
+
+
+@functools.partial(jax.jit, static_argnames=("g",))
+def _accumulate_group_jit(carry: BounceCarry, accum, rays_total, film_perm,
+                          g: int):
+    """Fold a G-sample spp-major group into the film: lanes are laid out
+    (pixel-tile-order, rep) so each pixel's g samples are adjacent —
+    reduce them in rep order, then one unique-index scatter-add."""
+    from pt.render.integrator import _finite_or_zero
+    rad = _finite_or_zero(carry.radiance).reshape(-1, g, 3).sum(axis=1)
+    flat = accum.reshape(-1, 3).at[film_perm].add(rad)
     return flat.reshape(accum.shape), rays_total + carry.rays
 
 
@@ -175,6 +194,12 @@ def _scatter_jit(full: BounceCarry, sub: BounceCarry, perm):
 
 def _size_class(n_alive: int, minimum: int = 1024) -> int:
     return max(minimum, 1 << max(0, (n_alive - 1).bit_length()))
+
+
+# spp-major group cap: largest merged wavefront dispatched as one unit
+# (~1M lanes ≈ 110 MB of carry state + stage temporaries; a 512² film
+# merges 4 spp exactly, 1080p stays per-sample)
+_MAX_GROUP_LANES = 1 << 20
 
 
 def _carry_pspec(axis):
@@ -334,8 +359,14 @@ class Renderer:
         self._spp_map = None
         self._accum_sq = None
         self._accel_dirty = True
-        self._compaction_plan = None
-        self._plan_age = 0
+        # compaction plans keyed by dispatch lane count: the spp-major
+        # grouped dispatch (render), the adaptive film (full-film lanes)
+        # and the sharded path (per-shard lanes) each observe and apply
+        # size classes for their own wavefront width
+        self._plans: dict = {}
+        self._plan_ages: dict = {}
+        # spp-major group arrays keyed by group size g (see _group_arrays)
+        self._group_cache: dict = {}
 
     # -- scene management (≙ Renderer::UpdateSceneData, Renderer.cpp:238) --
     def set_scene(self, scene: Scene,
@@ -410,6 +441,7 @@ class Renderer:
         if (self.width, self.height) == (width, height):
             return
         self.width, self.height = width, height
+        self._group_cache = {}
         ys, xs = np.meshgrid(np.arange(height, dtype=np.uint32),
                              np.arange(width, dtype=np.uint32), indexing="ij")
         order = _tile_order(width, height)
@@ -467,8 +499,8 @@ class Renderer:
         with self._rays_lock:
             self._rays_chunks = []
             self._rays_host = 0
-        self._compaction_plan = None
-        self._plan_age = 0
+        self._plans = {}
+        self._plan_ages = {}
         self._spp_map = None
         self._accum_sq = None
 
@@ -617,76 +649,119 @@ class Renderer:
             if self.mesh is not None:
                 self._render_sharded(samples, inv_view, inv_proj)
             else:
-                state = _init_state_jit(self._px, self._py, self.width,
-                                        jnp.uint32(self.total_samples))
+                # spp-major grouping: merge up to G samples into ONE
+                # wavefront whose lanes interleave (pixel, rep) — each
+                # 1024-ray packet then covers a G× smaller pixel
+                # footprint, shrinking the per-cone BVH leaf-visit union
+                # that dominates incoherent bounces (docs/perf_budget.md
+                # §2: denser cones are the one re-partitioning that
+                # helps). Each lane seeds its own (pixel, frame) RNG
+                # stream, so films match repeated render(1) semantics.
+                # group sizes are quantized to powers of two so the
+                # compiled dispatch-shape set stays bounded (≤ log2(cap)
+                # shapes per film size): the adaptive samples-per-frame
+                # controller retunes sample_count continuously, and each
+                # retune must map onto an already-compiled class instead
+                # of minting a new one (test_spf_retune_does_not_recompile)
                 n_full = self.width * self.height
-                # compaction plan from the previous step's statistics: any
-                # host readback mid-pipeline costs a ~30 ms sync on this
-                # platform, so live counts are fetched ONCE per render()
-                # (below) and drive the NEXT step's size classes with a 2x
-                # safety margin (overflowing lanes would be path-truncated;
-                # margin + monotone path death make that practically never)
-                plan = self._compaction_plan
-                # replanning costs one ~30 ms host sync — do it only when
-                # the plan is missing or stale
-                observe = (self._compaction_plan is None
-                           or self._plan_age >= 16)
-                alive_obs = []
+                cap = (_MAX_GROUP_LANES // n_full
+                       if n_full <= _MAX_GROUP_LANES else 1)
                 jset = self._jit_settings()
-                for si in range(samples):
-                    carry = _raygen_jit(self._px, self._py, self.width,
-                                        self.height, inv_view, inv_proj,
-                                        state, jset)
-                    full = carry
-                    perm = None
-                    cur_n = n_full
-                    for bounce in range(self.settings.bounce_count):
-                        carry, alive_count = _bounce_jit(
-                            self.ds, self.tex, self.accel, carry,
-                            jset, bounce > 0)
-                        if si == 0 and observe:
-                            alive_obs.append(alive_count)
-                        # during re-observation the (stale) plan is NOT
-                        # applied to the observed sample: compaction by an
-                        # undersized class would truncate live paths AND
-                        # clamp the very counts meant to correct it
-                        k = (plan[bounce]
-                             if plan and bounce < len(plan)
-                             and not (observe and si == 0) else None)
-                        if (k is not None and k <= cur_n // 2
-                                and bounce < self.settings.bounce_count - 1):
-                            if perm is not None:
-                                full = _scatter_jit(full, carry, perm)
-                            else:
-                                full = carry
-                            carry, perm = _compact_jit(full, k)
-                            cur_n = k
-                    if perm is not None:
-                        full = _scatter_jit(full, carry, perm)
-                    else:
-                        full = carry
-                    self.accum, rt = _accumulate_jit(
-                        full, self.accum, jnp.zeros((), jnp.int32),
-                        self._film_perm)
-                    self._rays_chunks.append(rt)
-                    state = full.state
-                if alive_obs:
-                    # single batched fetch = one sync. 1.35x headroom over
-                    # the observed live count (was 2.0x): between 16-step
-                    # re-observations the live count only drifts by RNG
-                    # noise (~1%), and the film/settings changes that shift
-                    # it reset the plan entirely — measured bounce-1 then
-                    # traces at half the lanes (docs/perf_budget.md §5)
-                    counts = np.asarray(jnp.stack(alive_obs))
-                    self._compaction_plan = [
-                        _size_class(int(1.35 * c)) if c > 0 else 1024
-                        for c in counts]
-                    self._plan_age = 0
-                else:
-                    self._plan_age += 1
+                done = 0
+                while done < samples:
+                    g = min(cap, samples - done)
+                    g = 1 << (g.bit_length() - 1)       # pow2 floor
+                    self._render_group(g, done, inv_view, inv_proj, jset)
+                    done += g
         self.total_samples += samples
         Stats.add_stat("Total Samples", self.total_samples)
         return self.total_samples
+
+    def _group_arrays(self, g: int):
+        """Lane arrays for a g-sample spp-major group: lane = (tile-order
+        pixel index) * g + rep, so each pixel's g samples sit adjacent
+        (rep-ordered film reduce in _accumulate_group_jit) and every
+        packet covers a g× smaller pixel footprint."""
+        cached = self._group_cache.get(g)
+        if cached is None:
+            px = np.asarray(self._px)
+            py = np.asarray(self._py)
+            rep = np.tile(np.arange(g, dtype=np.uint32), px.size)
+            cached = (jnp.asarray(np.repeat(px, g)),
+                      jnp.asarray(np.repeat(py, g)),
+                      jnp.asarray(rep))
+            self._group_cache[g] = cached
+        return cached
+
+    def _render_group(self, g: int, rep0: int, inv_view, inv_proj,
+                      jset) -> None:
+        """Trace one g-sample spp-major wavefront (reps rep0..rep0+g-1)
+        and fold it into the film. Each lane seeds its own
+        (pixel, total_samples + rep) RNG stream — identical streams to g
+        repeated render(1) calls, so grouping only changes dispatch
+        shape, not the estimator."""
+        n_full = self.width * self.height
+        if g == 1:
+            px, py = self._px, self._py
+            frames = jnp.uint32(self.total_samples + rep0)
+        else:
+            px, py, rep = self._group_arrays(g)
+            frames = jnp.uint32(self.total_samples + rep0) + rep
+        state = _init_state_jit(px, py, self.width, frames)
+        carry = _raygen_jit(px, py, self.width, self.height, inv_view,
+                            inv_proj, state, jset)
+        n_lanes = n_full * g
+        # compaction plan from previously observed live counts, keyed by
+        # dispatch width: any host readback mid-pipeline costs a ~30 ms
+        # sync on this platform, so live counts are fetched ONCE per
+        # observation and drive later dispatches' size classes with 1.35x
+        # headroom (live counts only drift by RNG noise between renders;
+        # film/settings changes reset the plans entirely)
+        plan = self._plans.get(n_lanes)
+        # re-observation: the (stale) plan is NOT applied to the observed
+        # group — compaction by an undersized class would truncate live
+        # paths AND clamp the very counts meant to correct it
+        observe = plan is None or self._plan_ages.get(n_lanes, 0) >= 16
+        full = carry
+        perm = None
+        cur_n = n_lanes
+        alive_obs = [] if observe else None
+        for bounce in range(self.settings.bounce_count):
+            carry, alive_count = _bounce_jit(self.ds, self.tex, self.accel,
+                                             carry, jset, bounce > 0)
+            if alive_obs is not None:
+                alive_obs.append(alive_count)
+            k = (plan[bounce] if plan and bounce < len(plan)
+                 and not observe else None)
+            if (k is not None and k <= cur_n // 2
+                    and bounce < self.settings.bounce_count - 1):
+                if perm is not None:
+                    full = _scatter_jit(full, carry, perm)
+                else:
+                    full = carry
+                carry, perm = _compact_jit(full, k)
+                cur_n = k
+        if perm is not None:
+            full = _scatter_jit(full, carry, perm)
+        else:
+            full = carry
+        if g == 1:
+            self.accum, rt = _accumulate_jit(full, self.accum,
+                                             jnp.zeros((), jnp.int32),
+                                             self._film_perm)
+        else:
+            self.accum, rt = _accumulate_group_jit(full, self.accum,
+                                                   jnp.zeros((), jnp.int32),
+                                                   self._film_perm, g)
+        self._rays_chunks.append(rt)
+        if alive_obs is not None:
+            counts = np.asarray(jnp.stack(alive_obs))   # one batched sync
+            self._plans[n_lanes] = [
+                _size_class(int(1.35 * c)) if c > 0 else 1024
+                for c in counts]
+            self._plan_ages[n_lanes] = 0
+        else:
+            self._plan_ages[n_lanes] = self._plan_ages.get(n_lanes, 0) + 1
 
     def _jit_settings(self):
         """Settings instance for the per-stage jits: sample_count is
@@ -863,7 +938,7 @@ class Renderer:
                     full = carry
                     perm = None
                     cur_n = disp_n
-                    plan = self._compaction_plan
+                    plan = self._plans.get(disp_n)
                     # re-observe on every round's first dispatch: adaptive
                     # rounds concentrate the noisiest pixels, whose paths
                     # live longer — a stale plan would truncate them
@@ -912,8 +987,8 @@ class Renderer:
                                             new_plan[j] = max(new_plan[j],
                                                               plan[j])
                                     break
-                        self._compaction_plan = new_plan
-                        self._plan_age = 0
+                        self._plans[disp_n] = new_plan
+                        self._plan_ages[disp_n] = 0
                     steps += 1
                 self._spp_map += alloc
         self.total_samples = int(self._spp_map.max())
@@ -1021,7 +1096,7 @@ class Renderer:
                     full = carry
                     perm = None
                     cur_n = n_local
-                    plan = self._compaction_plan
+                    plan = self._plans.get(n_local)
                     alive_obs = [] if (plan is None or d == 0) else None
                     rt = jnp.zeros((), jnp.int32)
                     for bounce in range(self.settings.bounce_count):
@@ -1066,8 +1141,8 @@ class Renderer:
                                             new_plan[j] = max(new_plan[j],
                                                               plan[j])
                                     break
-                        self._compaction_plan = new_plan
-                        self._plan_age = 0
+                        self._plans[n_local] = new_plan
+                        self._plan_ages[n_local] = 0
                     steps += 1
                 self._spp_map += alloc
         self.accum = accum_flat.reshape(self.accum.shape)
@@ -1095,8 +1170,8 @@ class Renderer:
         n_dev = self.mesh.devices.size
         n_local = (self.width * self.height) // n_dev
         accum_flat = self.accum.reshape(-1, 3)
-        plan = self._compaction_plan
-        observe = plan is None or self._plan_age >= 16
+        plan = self._plans.get(n_local)
+        observe = plan is None or self._plan_ages.get(n_local, 0) >= 16
         alive_obs = []
         for s in range(samples):
             frame = jnp.uint32(self.total_samples + s)
@@ -1135,12 +1210,12 @@ class Renderer:
             self._rays_chunks.append(rt)
         if alive_obs:
             counts = np.asarray(jnp.stack(alive_obs))   # one batched sync
-            self._compaction_plan = [
+            self._plans[n_local] = [
                 _size_class(int(1.35 * c)) if c > 0 else 1024
                 for c in counts]
-            self._plan_age = 0
+            self._plan_ages[n_local] = 0
         else:
-            self._plan_age += 1
+            self._plan_ages[n_local] = self._plan_ages.get(n_local, 0) + 1
         self.accum = accum_flat.reshape(self.accum.shape)
 
     def film_mean(self) -> np.ndarray:

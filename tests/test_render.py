@@ -161,8 +161,10 @@ def test_compaction_bit_identical(default_setup):
     r.on_resize(48, 48)                # 2304 lanes → compacts to 1024
     r.render(2)                        # first call observes counts
     r.render(2)                        # second call compacts by plan
-    assert r._compaction_plan is not None
-    assert min(r._compaction_plan) <= 1152, "plan should trigger compaction"
+    # 48x48 px x spp-group 2 → one 4608-lane dispatch key
+    plan = r._plans.get(48 * 48 * 2)
+    assert plan is not None
+    assert min(plan) <= 2304, "plan should trigger compaction"
     with_compact = np.asarray(r.accum)
 
     # disable compaction by making the size class huge
@@ -227,9 +229,15 @@ def test_spf_retune_does_not_recompile():
                                      backend="brute"))
     r.set_scene(make_reuse_mesh_scene(), stream_textures=False)
     r.on_resize(16, 16)
+    # warm the power-of-two spp-group dispatch classes once (the grouped
+    # wavefront quantizes to pow2 shapes so the compiled set is bounded)
     r.render(1)
-    before = _raygen_jit._cache_size() + _bounce_jit._cache_size()
     for spf in (2, 4, 8):
+        r.settings = dataclasses.replace(r.settings, sample_count=spf)
+        r.render()
+    before = _raygen_jit._cache_size() + _bounce_jit._cache_size()
+    # arbitrary retunes (incl. non-pow2) must map onto compiled classes
+    for spf in (2, 3, 4, 5, 6, 7, 8):
         r.settings = dataclasses.replace(r.settings, sample_count=spf)
         r.render()
     after = _raygen_jit._cache_size() + _bounce_jit._cache_size()

@@ -26,8 +26,8 @@ def _run(mesh, steps, compact):
     r.on_resize(64, 64)
     for _ in range(steps):
         if not compact:
-            r._compaction_plan = None       # forbid compaction entirely
-            r._plan_age = 0
+            r._plans.clear()                # forbid compaction entirely
+            r._plan_ages.clear()
         r.render(1)
     return np.asarray(r.accum), r.rays_traced
 
