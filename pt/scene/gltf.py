@@ -378,6 +378,9 @@ class GLTFImporter:
                    and "WEIGHTS_0" in attrs and skin in self._skin_bones)
         if skinned:
             joints = gltf.accessor(attrs["JOINTS_0"]).astype(np.int64)
+            # weights may arrive unnormalized (a classic exporter bug);
+            # SceneBuilder.add_animated_vertices normalizes centrally
+            # (≙ assimp LimitBoneWeights, SceneImporter.cpp:420-453)
             weights = gltf.accessor(attrs["WEIGHTS_0"]).astype(np.float32)
             bone_map = np.asarray(self._skin_bones[skin], np.int64)
             safe = np.clip(joints, 0, len(bone_map) - 1)
