@@ -70,6 +70,12 @@ class Application:
             max_samples_per_frame=self.config.max_samples_per_frame)
         self._running = False
         self._idle_published = False
+        # live debug-pipeline switch (≙ SetDebugRaytracingPipeline + the
+        # Debug tab's mode/flag radio buttons, UserInterface.cpp:1700-1764):
+        # when set, run() presents single-trace debug frames instead of
+        # accumulating path-traced samples
+        self.debug_mode = None            # DebugRenderMode | None
+        self.debug_flags = None           # DebugFlags | None
 
     # -- lifecycle -------------------------------------------------------
     def init(self, group: str = "Test Scenes", scene: str = "Default",
@@ -143,7 +149,15 @@ class Application:
                 # render()/render_adaptive() time themselves under the
                 # "Render" stat — wrapping them here again would double-
                 # count every frame on the same key
-                if adaptive_tol is not None:
+                if self.debug_mode is not None:
+                    # debug pipeline active: present a single-trace debug
+                    # frame, no accumulation (≙ the reference swapping the
+                    # active RT pipeline while the Debug tab is enabled)
+                    if on_frame is not None:
+                        on_frame(self._render_debug_frame(),
+                                 self.renderer.total_samples)
+                    idle = True      # the film publish below is skipped
+                elif adaptive_tol is not None:
                     stats = self.renderer.render_adaptive(
                         tol=adaptive_tol,
                         max_seconds=adaptive_frame_seconds,
@@ -173,6 +187,18 @@ class Application:
 
     def stop(self) -> None:
         self._running = False
+
+    def _render_debug_frame(self) -> np.ndarray:
+        """One frame through the debug renderer at the film size with the
+        active camera (≙ RecordPathTracingCommands with the debug pipeline
+        bound)."""
+        from pt.render.debug import DebugFlags, render_debug_image
+        r = self.renderer
+        inv_view, inv_proj = r._camera_mats()
+        img = render_debug_image(r.ds, r.tex, inv_view, inv_proj,
+                                 r.width, r.height, self.debug_mode,
+                                 flags=self.debug_flags or DebugFlags())
+        return np.clip(np.asarray(img), 0.0, 1.0)
 
     # -- offline ----------------------------------------------------------
     def render_offline(self, settings: RenderSettings,

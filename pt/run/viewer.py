@@ -56,6 +56,30 @@ _PAGE = """<!doctype html>
 <div id="hud">WASD move &middot; Q/E down/up &middot; hold RMB / click to
 look &middot; P pause animation &middot; Space show/hide HUD &middot;
 <select id="scene"><option>loading scenes...</option></select></div>
+<div id="ctl">
+bounces <input id="bounces" type="number" min="1" max="16" value="5"
+ style="width:3em">
+lens <input id="lens_radius" type="number" min="0" step="0.01" value="0"
+ style="width:4em">
+focal <input id="focal_distance" type="number" min="0.01" step="0.1"
+ value="1" style="width:4em">
+exposure <input id="exposure" type="number" min="0" step="0.1" value="1"
+ style="width:4em">
+cam <select id="cam"><option value="0">0</option></select>
+debug <select id="dbg">
+  <option value="off">off</option><option>color</option>
+  <option>world_position</option><option>normal</option>
+  <option>tex_coords</option><option>mips</option><option>geometry</option>
+  <option>primitive</option><option>instance</option></select>
+<label><input id="force_opaque" type="checkbox">opaque</label>
+<label><input id="cull_backfaces" type="checkbox">cull</label>
+<label><input id="disable_color_texture" type="checkbox">no-tex</label>
+<label><input id="disable_shadows" type="checkbox">no-shadow</label>
+&middot; <input id="rpath" placeholder="render.png" style="width:8em">
+<input id="rspp" type="number" value="256" style="width:4em">spp
+<button id="rbtn">render</button>
+</div>
+<div id="stats"></div>
 <script>
 const sel = document.getElementById('scene');
 fetch('/scenes').then(r => r.json()).then(d => {
@@ -69,8 +93,49 @@ fetch('/scenes').then(r => r.json()).then(d => {
 sel.addEventListener('change', () =>
   fetch('/scene', {method: 'POST',
                    body: JSON.stringify({scene: sel.value})}));
-sel.addEventListener('keydown', e => e.stopPropagation());
-sel.addEventListener('keyup', e => e.stopPropagation());
+const send = obj =>
+  fetch('/settings', {method: 'POST', body: JSON.stringify(obj)});
+for (const id of ['bounces', 'lens_radius', 'focal_distance', 'exposure'])
+  document.getElementById(id).addEventListener('change', e => {
+    const key = id === 'bounces' ? 'bounce_count' : id;
+    send({[key]: parseFloat(e.target.value)});
+  });
+document.getElementById('cam').addEventListener('change', e =>
+  send({camera_index: parseInt(e.target.value)}));
+const flagIds = ['force_opaque', 'cull_backfaces', 'disable_color_texture',
+                 'disable_shadows'];
+const sendDebug = () => {
+  const flags = {};
+  for (const f of flagIds) flags[f] = document.getElementById(f).checked;
+  send({debug_mode: document.getElementById('dbg').value,
+        debug_flags: flags});
+};
+document.getElementById('dbg').addEventListener('change', sendDebug);
+for (const f of flagIds)
+  document.getElementById(f).addEventListener('change', sendDebug);
+document.getElementById('rbtn').addEventListener('click', () =>
+  fetch('/render', {method: 'POST', body: JSON.stringify({
+    path: document.getElementById('rpath').value || 'render.png',
+    max_samples: parseInt(document.getElementById('rspp').value) || 256})}));
+setInterval(() => fetch('/state').then(r => r.json()).then(s => {
+  document.getElementById('stats').textContent =
+    `${s.total_samples || 0} spp · ${((s.rays_traced || 0) / 1e6).toFixed(0)}` +
+    ` Mrays · ${(s.size || []).join('x')} ${s.offline || ''}`;
+  const cam = document.getElementById('cam');
+  if (s.camera_count && cam.options.length !== s.camera_count) {
+    cam.innerHTML = '';
+    for (let i = 0; i < s.camera_count; i++) {
+      const o = document.createElement('option');
+      o.value = o.textContent = i;
+      cam.appendChild(o);
+    }
+    cam.value = s.camera_index || 0;
+  }
+}), 1000);
+for (const el of document.querySelectorAll('#ctl input, #ctl select, #scene')) {
+  el.addEventListener('keydown', e => e.stopPropagation());
+  el.addEventListener('keyup', e => e.stopPropagation());
+}
 const v = document.getElementById('v');
 let queue = [];
 function post(ev) {
@@ -128,7 +193,7 @@ class ViewerServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8000,
                  on_key_release=None, scenes=None, on_scene_select=None,
-                 on_settings=None):
+                 on_settings=None, on_render=None):
         self._frame_lock = threading.Condition()
         self._jpeg: bytes = _encode_jpeg(np.zeros((8, 8, 3), np.float32))
         self._seq = 0
@@ -136,6 +201,7 @@ class ViewerServer:
         self._scenes = list(scenes or [])
         self._on_scene_select = on_scene_select
         self._on_settings = on_settings
+        self._on_render = on_render
         if on_key_release is not None:
             Input.set_key_release_callback(on_key_release)
         server = self
@@ -236,6 +302,29 @@ class ViewerServer:
                     self.send_header("Content-Length", "0")
                     self.end_headers()
                     return
+                if self.path == "/render":
+                    # offline-render trigger (≙ the Render-button modal,
+                    # UserInterface.cpp:774-1212): {path, format, width,
+                    # height, max_samples, max_time_s, frame_count,
+                    # framerate}; runs on the loop thread — the viewer
+                    # freezes while it renders, like the reference's
+                    # offline state machine disabling interaction
+                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        data = json.loads(self.rfile.read(length) or b"{}")
+                        if not isinstance(data, dict) or \
+                                server._on_render is None or \
+                                not str(data.get("path", "")):
+                            raise ValueError("need a render sink + path")
+                        server._on_render(data)
+                    except ValueError as exc:
+                        log.warning("bad render request: %s", exc)
+                        self.send_error(400)
+                        return
+                    self.send_response(204)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
                 if self.path != "/input":
                     self.send_error(404)
                     return
@@ -309,7 +398,16 @@ def _build_hud(width: int, height: int) -> np.ndarray:
 def apply_settings(app, data: dict) -> None:
     """Map a JSON settings dict onto the renderer's PathTracingSettings /
     PostProcessSettings dataclasses (unknown keys ignored; ≙ the Settings
-    tab writing Renderer::SetSettings, Renderer.cpp:825-852).
+    tab writing Renderer::SetSettings, Renderer.cpp:825-852), plus the
+    non-dataclass controls of the reference UI:
+
+    - "camera_index": int — scene camera radio list
+      (UserInterface.cpp:1230-1243); resets accumulation on change
+    - "debug_mode": name | int | "off" — swaps the debug pipeline in or
+      out live (UserInterface.cpp:1700-1727)
+    - "debug_flags": {force_opaque, cull_backfaces,
+      disable_color_texture, disable_shadows} bools
+      (UserInterface.cpp:1728-1764)
 
     Values are coerced to the field's declared type here: a bad payload
     must raise NOW (where the caller logs and rejects the update), not as
@@ -333,6 +431,34 @@ def apply_settings(app, data: dict) -> None:
                 out[f.name] = v
         return out
 
+    if "camera_index" in data:
+        idx = int(data["camera_index"])
+        cams = app.renderer.scene.cameras if app.renderer.scene else []
+        if not 0 <= idx < max(len(cams), 1):
+            raise ValueError(f"camera_index {idx} out of range")
+        if idx != app.renderer.camera_index:
+            app.renderer.camera_index = idx
+            app.renderer.reset_accumulation()
+    if "debug_mode" in data:
+        from pt.render.debug import DebugRenderMode
+        v = data["debug_mode"]
+        if v in (None, "", "off", "Off", -1, "-1"):
+            app.debug_mode = None
+        elif isinstance(v, str) and not v.lstrip("-").isdigit():
+            try:
+                app.debug_mode = DebugRenderMode[
+                    v.upper().replace("-", "_")]
+            except KeyError:
+                raise ValueError(f"unknown debug mode {v!r}")
+        else:
+            app.debug_mode = DebugRenderMode(int(v))
+    if "debug_flags" in data:
+        from pt.render.debug import DebugFlags
+        flags = dict(data["debug_flags"])
+        known = {f.name for f in dataclasses.fields(DebugFlags)}
+        app.debug_flags = DebugFlags(
+            **{k: bool(v) for k, v in flags.items() if k in known})
+
     st, post = app.renderer.settings, app.renderer.post
     st_up = coerce(st, data)
     post_up = coerce(post, data)
@@ -350,6 +476,8 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
     hud_state = {"visible": show_hud}
     pending_scene: list = []
     pending_settings: list = []
+    pending_render: list = []
+    render_note = {"msg": ""}
 
     def on_key_release(key: str) -> None:
         # ≙ UserInterface::OnKeyRelease (UserInterface.cpp:202-220):
@@ -365,7 +493,8 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
                    for n in scenes]
     server = ViewerServer(host, port, on_key_release, scenes=scene_names,
                           on_scene_select=pending_scene.append,
-                          on_settings=pending_settings.append)
+                          on_settings=pending_settings.append,
+                          on_render=pending_render.append)
     server.start()
     print(f"viewer at http://{server.host}:{server.port}/  (Ctrl-C stops)",
           flush=True)
@@ -417,8 +546,39 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
             for data in batch:
                 try:
                     apply_settings(app, data)
-                except (TypeError, ValueError) as exc:
+                except (TypeError, ValueError, KeyError) as exc:
                     log.warning("settings update rejected: %s", exc)
+        if pending_render:
+            # offline-render trigger, last-wins (≙ one modal at a time)
+            batch = pending_render[:]
+            del pending_render[:len(batch)]
+            data = batch[-1]
+            try:
+                from pt.out.saver import OutputInfo
+                from pt.run.offline import RenderSettings
+                out = OutputInfo(
+                    path=str(data["path"]),
+                    width=int(data.get("width", app.renderer.width)),
+                    height=int(data.get("height", app.renderer.height)),
+                    framerate=float(data.get("framerate", 30.0)),
+                    format=str(data.get("format",
+                                        str(data["path"]).rsplit(".", 1)[-1]
+                                        if "." in str(data["path"])
+                                        else "png")))
+                rs = RenderSettings(
+                    output=out,
+                    frame_count=int(data.get("frame_count", 1)),
+                    max_sample_count=int(data.get("max_samples", 256)),
+                    max_time_seconds=(float(data["max_time_s"])
+                                      if data.get("max_time_s") else None))
+                render_note["msg"] = f"rendering {out.path}..."
+                server.publish(np.asarray(app.renderer.snapshot()), {
+                    **server._state, "offline": render_note["msg"]})
+                app.render_offline(rs)
+                render_note["msg"] = f"saved {out.path}"
+            except Exception as exc:    # never kill the viewer loop
+                log.warning("offline render failed: %s", exc)
+                render_note["msg"] = f"render failed: {exc}"
         if show_hud and hud_state["visible"]:
             from pt.post import compose_ui
             h, w = snapshot.shape[:2]
@@ -427,10 +587,20 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
                 hud = hud_cache[(w, h)] = _build_hud(w, h)
             if hud[..., 3].any():
                 snapshot = np.asarray(compose_ui(snapshot, hud))
+        cams = app.renderer.scene.cameras if app.renderer.scene else []
         server.publish(snapshot, {
             "total_samples": total_samples,
             "rays_traced": app.renderer.rays_traced,
-            "size": [app.renderer.width, app.renderer.height]})
+            "size": [app.renderer.width, app.renderer.height],
+            "camera_count": len(cams),
+            "camera_index": app.renderer.camera_index,
+            "debug_mode": (app.debug_mode.name.lower()
+                           if app.debug_mode is not None else "off"),
+            "bounce_count": app.renderer.settings.bounce_count,
+            "lens_radius": app.renderer.settings.lens_radius,
+            "focal_distance": app.renderer.settings.focal_distance,
+            "exposure": app.renderer.post.exposure,
+            "offline": render_note["msg"]})
 
     try:
         return app.run(duration_seconds=duration_seconds, on_frame=on_frame,

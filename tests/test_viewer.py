@@ -319,3 +319,119 @@ class TestUserSceneLoad:
             V.ViewerServer = orig
         assert app.renderer.scene.name == "User Scene"
         assert "User Scene" in app.scene_manager.groups["User Scenes"]
+
+
+class TestDebugAndCameraControls:
+    """Round-3 viewer control-surface parity (VERDICT round-2 task 5):
+    live DoF, debug mode + flags, camera index, offline-render trigger
+    (≙ UserInterface.cpp:1294-1313, 1700-1764, 774-1212)."""
+
+    def _app(self):
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.app import Application
+        app = Application()
+        app.renderer.set_settings(PathTracingSettings(
+            sample_count=1, bounce_count=2, backend="brute"))
+        app.init(width=16, height=16)
+        return app
+
+    def test_apply_settings_debug_camera_dof(self):
+        from pt.render.debug import DebugRenderMode
+        from pt.run.viewer import apply_settings
+        app = self._app()
+        apply_settings(app, {"debug_mode": "normal",
+                             "debug_flags": {"disable_shadows": True,
+                                             "bogus_flag": 1}})
+        assert app.debug_mode == DebugRenderMode.NORMAL
+        assert app.debug_flags.disable_shadows is True
+        apply_settings(app, {"debug_mode": 4})
+        assert app.debug_mode == DebugRenderMode.MIPS
+        apply_settings(app, {"debug_mode": "off"})
+        assert app.debug_mode is None
+        with pytest.raises(ValueError):
+            apply_settings(app, {"debug_mode": "nonsense"})
+        with pytest.raises(ValueError):
+            apply_settings(app, {"camera_index": 7})
+        apply_settings(app, {"camera_index": 0})
+        assert app.renderer.camera_index == 0
+        # live DoF (lens radius / focal distance sliders)
+        apply_settings(app, {"lens_radius": 0.05, "focal_distance": 2.5})
+        assert app.renderer.settings.lens_radius == 0.05
+        assert app.renderer.settings.focal_distance == 2.5
+
+    def test_all_debug_modes_render_live(self):
+        """Drive all 8 debug modes through the run loop (the round-3
+        'done' criterion)."""
+        from pt.render.debug import DebugRenderMode
+        app = self._app()
+        frames = []
+        for mode in DebugRenderMode:
+            app.debug_mode = mode
+            app.run(target_frames=1,
+                    on_frame=lambda s, t: frames.append(np.asarray(s)))
+        assert len(frames) == len(DebugRenderMode) == 8
+        for f in frames:
+            assert f.shape == (16, 16, 3)
+            assert np.isfinite(f).all()
+        # debug frames replace the film; accumulation must not advance
+        app.debug_mode = None
+
+    def test_render_endpoint(self):
+        from pt.run.viewer import ViewerServer
+        got = []
+        server = ViewerServer(port=0, on_render=got.append)
+        server.start()
+        base = f"http://{server.host}:{server.port}"
+        try:
+            req = urllib.request.Request(
+                f"{base}/render", data=json.dumps({}).encode(),
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError):
+                urllib.request.urlopen(req, timeout=5)   # no path → 400
+            req = urllib.request.Request(
+                f"{base}/render",
+                data=json.dumps({"path": "/tmp/out.png",
+                                 "max_samples": 4}).encode(),
+                method="POST")
+            assert urllib.request.urlopen(req, timeout=5).status == 204
+            assert got == [{"path": "/tmp/out.png", "max_samples": 4}]
+        finally:
+            server.stop()
+
+    def test_offline_trigger_end_to_end(self, tmp_path):
+        """POST /render produces a file through the loop thread."""
+        import threading
+        import time as _time
+
+        import pt.run.viewer as V
+        from pt.run.viewer import run_viewer
+
+        app = self._app()
+        out = str(tmp_path / "shot.png")
+        holder = {}
+
+        def poke():
+            while "base" not in holder:
+                _time.sleep(0.02)
+            req = urllib.request.Request(
+                holder["base"] + "/render",
+                data=json.dumps({"path": out, "max_samples": 2}).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=5)
+
+        t = threading.Thread(target=poke, daemon=True)
+        orig = V.ViewerServer
+
+        class Hooked(orig):
+            def start(self):
+                super().start()
+                holder["base"] = f"http://{self.host}:{self.port}"
+                t.start()
+
+        V.ViewerServer = Hooked
+        try:
+            run_viewer(app, port=0, duration_seconds=4.0, show_hud=False)
+        finally:
+            V.ViewerServer = orig
+        import pathlib
+        assert pathlib.Path(out).exists()
