@@ -188,6 +188,42 @@ class Application:
     def stop(self) -> None:
         self._running = False
 
+    def reload_shaders(self) -> None:
+        """Dev hot-reload (≙ Renderer::ReloadShaders, Renderer.cpp:756,
+        bound to the H key): re-import the shader-equivalent modules
+        (shading/bsdf/sampling/materials/rays/differentials/rng, the post
+        stack, and the integrator that composes them) from disk, then
+        rebuild the renderer module's cached stage jits against the
+        reloaded code and restart accumulation — the analogue of
+        recompiling changed GLSL and relinking the pipelines
+        (ShaderLibrary::RecompileIfChanged, ShaderLibrary.cpp:224-298).
+
+        Scope: the accel/kernel modules (pt.accel.*) are NOT reloaded —
+        their structures live inside the built accel objects the way the
+        reference's BLASes survive a shader reload — so existing accels
+        stay type-compatible. Modules that from-imported integrator
+        symbols elsewhere (pt.dist.mesh, pt.render.debug) keep the old
+        code until process restart; the production render path does not.
+        """
+        import importlib
+
+        from pt.post import pipeline as post_pipeline
+        from pt.render import (bsdf, differentials, integrator, materials,
+                               rays, rng, sampling, shading, textures)
+        # leaf modules first so the integrator re-imports fresh symbols
+        for mod in (shading, rng, rays, sampling, bsdf, materials,
+                    differentials, textures, post_pipeline, integrator):
+            importlib.reload(mod)
+        import pt.run.renderer as renderer_mod
+        reloaded = importlib.reload(renderer_mod)
+        # migrate the live instance onto the reloaded class: its state
+        # (scene, film, accel, settings) survives, its methods now call
+        # the fresh stage jits (old compiled variants are dropped with
+        # the old module's jit wrappers)
+        self.renderer.__class__ = reloaded.Renderer
+        if self.renderer.width:
+            self.renderer.reset_accumulation()
+
     def _render_debug_frame(self) -> np.ndarray:
         """One frame through the debug renderer at the film size with the
         active camera (≙ RecordPathTracingCommands with the debug pipeline

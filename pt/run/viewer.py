@@ -54,7 +54,8 @@ _PAGE = """<!doctype html>
 </style></head><body>
 <img id="v" src="/stream" tabindex="0" draggable="false">
 <div id="hud">WASD move &middot; Q/E down/up &middot; hold RMB / click to
-look &middot; P pause animation &middot; Space show/hide HUD &middot;
+look &middot; P pause animation &middot; H reload shaders &middot;
+Space show/hide HUD &middot;
 <select id="scene"><option>loading scenes...</option></select></div>
 <div id="ctl">
 bounces <input id="bounces" type="number" min="1" max="16" value="5"
@@ -146,7 +147,7 @@ setInterval(() => {
   const events = queue; queue = [];
   fetch('/input', {method: 'POST', body: JSON.stringify({events})});
 }, 33);
-const keys = 'wasdqep';
+const keys = 'wasdqeph';
 const name = k => k === ' ' ? 'space' : k;
 window.addEventListener('keydown', e => {
   const k = e.key.toLowerCase();
@@ -479,14 +480,19 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
     pending_render: list = []
     render_note = {"msg": ""}
 
+    pending_reload: list = []
+
     def on_key_release(key: str) -> None:
         # ≙ UserInterface::OnKeyRelease (UserInterface.cpp:202-220):
-        # P toggles animation pause, Space shows/hides the UI overlay
+        # P toggles animation pause, Space shows/hides the UI overlay,
+        # H hot-reloads the shader-equivalent modules
         if key == "p" and app.renderer.scene is not None:
             app.renderer.scene.animation_paused = \
                 not app.renderer.scene.animation_paused
         elif key == "space":
             hud_state["visible"] = not hud_state["visible"]
+        elif key == "h":
+            pending_reload.append(1)     # applied on the loop thread
 
     scene_names = [f"{g}/{n}"
                    for g, scenes in app.scene_manager.groups.items()
@@ -537,6 +543,14 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
                     app.set_scene(group, name, blocking=True)
             except Exception as exc:       # keep-prev-on-failure semantics
                 log.warning("scene switch to %s failed: %s", target, exc)
+        if pending_reload:
+            del pending_reload[:]
+            try:
+                app.reload_shaders()
+                log.info("shaders reloaded")
+            except Exception as exc:    # keep the old code on failure,
+                log.warning("shader reload failed: %s", exc)  # ≙ the
+                # reference keeping the old SPIR-V on a compile error
         if pending_settings:
             # drain in arrival order: payloads are partial deltas, so
             # applying only the newest would silently drop earlier ones

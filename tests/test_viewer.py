@@ -435,3 +435,32 @@ class TestDebugAndCameraControls:
             V.ViewerServer = orig
         import pathlib
         assert pathlib.Path(out).exists()
+
+
+class TestShaderHotReload:
+    def test_reload_shaders_reverts_patches_and_renders(self):
+        """Application.reload_shaders (H key; ≙ ReloadShaders,
+        Renderer.cpp:756) re-imports the shading modules from disk —
+        a monkeypatched constant reverts — and the renderer keeps
+        working afterward with its state intact."""
+        from pt.render.integrator import PathTracingSettings
+        from pt.run.app import Application
+        app = Application()
+        app.renderer.set_settings(PathTracingSettings(
+            sample_count=1, bounce_count=2, backend="brute"))
+        app.init(width=16, height=16)
+        app.renderer.render(1)
+
+        import pt.render.shading as shading
+        orig_pi = shading.PI
+        shading.PI = 999.0                 # simulated on-disk edit
+        try:
+            app.reload_shaders()
+        finally:
+            import pt.render.shading as shading2
+            assert shading2.PI == orig_pi  # reloaded from disk
+        scene = app.renderer.scene
+        assert app.renderer.scene is scene  # state survived
+        app.renderer.render(1)              # fresh jits still render
+        snap = app.renderer.snapshot()
+        assert np.isfinite(snap).all()
