@@ -27,14 +27,14 @@ BASELINE_MRAYS = 200.0
 SPP_CONVERGED = 128
 
 
-def _make(scene, width, height, bounces, spp=4):
+def _make(scene, width, height, bounces, spp=4, tex=None):
     from pt.render.integrator import PathTracingSettings
     from pt.run.renderer import Renderer
 
     renderer = Renderer(PathTracingSettings(sample_count=spp,
                                             bounce_count=bounces,
                                             backend="pallas"))
-    renderer.set_scene(scene, stream_textures=False)
+    renderer.set_scene(scene, tex=tex, stream_textures=False)
     renderer.on_resize(width, height)
     return renderer
 
@@ -53,8 +53,9 @@ def _warm(renderer) -> None:
     _ = renderer.rays_traced                 # sync before any clock
 
 
-def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
-    renderer = _make(scene, width, height, bounces)
+def measure(scene, width=512, height=512, steps=3, bounces=5,
+            tex=None) -> float:
+    renderer = _make(scene, width, height, bounces, tex=tex)
     _warm(renderer)
     start_rays = renderer.rays_traced
     t0 = time.perf_counter()
@@ -65,12 +66,13 @@ def measure(scene, width=512, height=512, steps=3, bounces=5) -> float:
     return total_rays / dt / 1e6
 
 
-def measure_spp_rate(scene, width, height, steps=2, spp=1) -> float:
+def measure_spp_rate(scene, width, height, steps=2, spp=1,
+                     tex=None) -> float:
     """Samples-per-pixel per second (the BASELINE.json 'spp/sec' metric).
     Warmed identically to measure(): all compaction size classes compile
     before the clock, so TTC(uniform) = SPP_CONVERGED / rate is a warm
     number comparable to the adaptive TTC below."""
-    renderer = _make(scene, width, height, bounces=5, spp=spp)
+    renderer = _make(scene, width, height, bounces=5, spp=spp, tex=tex)
     _warm(renderer)
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -80,7 +82,7 @@ def measure_spp_rate(scene, width, height, steps=2, spp=1) -> float:
     return steps * spp / dt
 
 
-def measure_adaptive_ttc(scene, width=256, height=256) -> float:
+def measure_adaptive_ttc(scene, width=256, height=256, tex=None) -> float:
     """Measured wall time of a global-MSE-targeted adaptive render
     (render_adaptive target_mse=7e-4). NOTE: 7e-4 is COURTYARD-CALIBRATED
     at 256^2 — the estimator target measured to land at true film MSE
@@ -93,7 +95,7 @@ def measure_adaptive_ttc(scene, width=256, height=256) -> float:
     (first compiles; reset clears the compaction plan, so the timed run
     pays re-observation syncs but no compiles — same as uniform's
     steady state)."""
-    renderer = _make(scene, width, height, bounces=5, spp=4)
+    renderer = _make(scene, width, height, bounces=5, spp=4, tex=tex)
     renderer.render_adaptive(target_mse=7e-4, max_spp=512, min_spp=16)
     renderer.reset_accumulation()
     t0 = time.perf_counter()
@@ -104,24 +106,32 @@ def measure_adaptive_ttc(scene, width=256, height=256) -> float:
 
 def main() -> None:
     import pt  # noqa: F401  (configures the persistent compile cache)
-    from pt.scene.examples import make_heightfield_scene
     from pt.scene.standin import make_courtyard_scene
+    from pt.scene.examples import make_heightfield_scene
+    from pt.scene.textures import build_scene_textures
 
     heightfield = measure(make_heightfield_scene(224))
-    courtyard = measure(make_courtyard_scene())
+    # the courtyard's Sponza-class texture set (2x4k + 2k/1k mix, ~2 GiB
+    # pool) is expensive to author + upload — build scene and pool ONCE
+    # and share across the riders (cameras are re-resized per measure)
+    courtyard_scene = make_courtyard_scene()
+    courtyard_tex = build_scene_textures(courtyard_scene)
+    cy = lambda: courtyard_scene  # noqa: E731
+
+    courtyard = measure(cy(), tex=courtyard_tex)
     # preview mode (≙ the reference's interactive low-bounce setting):
     # coherent primary+NEE work, where packet traversal runs near its
     # coherent rate — the user-facing interactive number
-    preview = measure(make_courtyard_scene(), bounces=1)
+    preview = measure(cy(), bounces=1, tex=courtyard_tex)
     # the other two BASELINE.json headline metrics: spp/s at 1080p on the
     # Sponza-class scene, and time-to-converged frame (MSE < 1e-3 vs deep
     # accumulation at SPP_CONVERGED samples; trajectory in BASELINE.md)
-    spp_1080 = measure_spp_rate(make_courtyard_scene(), 1920, 1080)
-    spp_256 = measure_spp_rate(make_courtyard_scene(), 256, 256, spp=4)
+    spp_1080 = measure_spp_rate(cy(), 1920, 1080, tex=courtyard_tex)
+    spp_256 = measure_spp_rate(cy(), 256, 256, spp=4, tex=courtyard_tex)
     extra = {}
     try:
         extra["courtyard_ttc_adaptive_256_s"] = round(
-            measure_adaptive_ttc(make_courtyard_scene()), 1)
+            measure_adaptive_ttc(cy(), tex=courtyard_tex), 1)
     except Exception:
         pass                              # rider field only; never break
     try:
@@ -133,7 +143,7 @@ def main() -> None:
 
         from pt.accel.pallas_bvh import build_packet_bvh_sah
         from pt.scene.flatten import flatten_scene
-        ds = flatten_scene(make_courtyard_scene())
+        ds = flatten_scene(courtyard_scene)
         pos = np.asarray(ds.obj_positions)
         rows = np.asarray(ds.tri_idx)
         opq = np.asarray(ds.tri_opaque)

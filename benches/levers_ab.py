@@ -16,8 +16,11 @@ Arms, cumulative:
 
 Usage: python benches/levers_ab.py [heightfield|courtyard]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(scene, settings, width=512, height=512, steps=3, group=True):

@@ -166,3 +166,31 @@ def render_image_spp_sharded(ds: DeviceScene, tex: DeviceTextures, inv_view,
                         jnp.asarray(inv_view, jnp.float32),
                         jnp.asarray(inv_proj, jnp.float32), xs, ys,
                         jnp.asarray(frame, jnp.uint32))
+
+
+def film_mesh_multihost(axis: str = "film") -> Mesh:
+    """Film-row mesh over ALL processes' devices (multi-host: ICI within
+    a slice, DCN across hosts — requires jax.distributed.initialize()
+    before first jax use). Single-process it degenerates to film_mesh().
+
+    Design (SURVEY §5 "multi-host film output over DCN only at save
+    time"): film rows shard over the global device order, so every
+    collective inside a render step (the ray-count psum, the compaction
+    pmax) stays on ICI within each host's devices wherever the mesh
+    axis order permits; film bands live host-local. Nothing in the
+    per-step path crosses DCN — the FILM only assembles at save time via
+    assemble_film() below, the analogue of the reference reading back
+    the accumulation image once per saved frame (OutputSaver.cpp)."""
+    import jax
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def assemble_film(accum, mesh: Mesh):
+    """Gather a band-sharded film to every process (one all-gather over
+    the mesh — crosses DCN only when the mesh spans hosts; call once per
+    SAVED frame, not per step). Returns a fully-replicated host array."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    out = jax.jit(lambda x: x,
+                  out_shardings=NamedSharding(mesh, P()))(accum)
+    return np.asarray(out)

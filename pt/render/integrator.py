@@ -102,12 +102,15 @@ class PathTracingSettings:
     # share one direction and stay unreversed). Film-identical up to a
     # TMIN-sliver at the segment ends. A/B: docs/perf_budget.md §11.
     reverse_point_shadows: bool = True
-    # Russian-roulette aggressiveness: survival = min(maxcomp(tp)/rr_scale, 1).
-    # 1.0 ≙ the reference rule (raygen.rgen:88-97). >1 truncates the
-    # low-contribution incoherent tail harder (VERDICT round-2 lever (a)):
-    # unbiased (1/p compensation), costs variance — only worth it if
-    # time-to-converged improves; see docs/perf_budget.md §11.
+    # Russian-roulette aggressiveness: survival = min(maxcomp(tp)/rr_scale, 1)
+    # at bounces >= rr_start_bounce; earlier bounces keep the reference
+    # rule (raygen.rgen:88-97; rr_scale=1.0 ≙ reference everywhere).
+    # >1 truncates the low-contribution incoherent tail harder (VERDICT
+    # round-2 lever (a)): unbiased (1/p compensation), costs variance —
+    # scale-everywhere measured a throughput win but a time-to-converged
+    # LOSS, hence the start-bounce gate (docs/perf_budget.md §11).
     rr_scale: float = 1.0
+    rr_start_bounce: int = 0
 
 
 class AlphaSplit(NamedTuple):
@@ -820,10 +823,13 @@ def _coherence_keys(bvh: "PacketBVH", origin, direction, alive):
 def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
                 carry: BounceCarry,
                 settings: PathTracingSettings,
-                sort_rays: bool = True) -> BounceCarry:
+                sort_rays: bool = True, rr_div=None) -> BounceCarry:
     """One wavefront bounce: closest trace → shade → NEE → RR
     (≙ one iteration of raygen.rgen:62-97). `sort_rays` statically disables
-    the coherence sort (used for the already-coherent primary bounce)."""
+    the coherence sort (used for the already-coherent primary bounce).
+    `rr_div` optionally overrides the RR truncation divisor as a TRACED
+    scalar (the host passes rr_scale for bounces >= rr_start_bounce and
+    1.0 before — one compiled variant serves every bounce)."""
     (state, origin, direction, throughput, radiance, alive,
      max_roughness, rays, diff) = carry
     rays = rays + jnp.sum(alive.astype(jnp.int32))
@@ -964,7 +970,9 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     # lanes that reach it (masked state advance). rr_scale > 1 truncates
     # the tail harder than the reference rule (see PathTracingSettings).
     prob = jnp.max(throughput, axis=-1)
-    if settings.rr_scale != 1.0:
+    if rr_div is not None:
+        prob = prob * (1.0 / jnp.asarray(rr_div, jnp.float32))
+    elif settings.rr_scale != 1.0:
         prob = prob * (1.0 / settings.rr_scale)
     prob = jnp.minimum(prob, 1.0)
     dead_small = prob < 0.001
@@ -1012,7 +1020,10 @@ def render_flat(ds: DeviceScene, tex: DeviceTextures, inv_view, inv_proj,
 
         carry = jax.lax.fori_loop(
             0, settings.bounce_count,
-            lambda _, c: bounce_once(ds, tex, accel, c, settings), carry)
+            lambda i, c: bounce_once(
+                ds, tex, accel, c, settings,
+                rr_div=jnp.where(i >= settings.rr_start_bounce,
+                                 settings.rr_scale, 1.0)), carry)
 
         radiance_sum = finish_sample(carry, radiance_sum)
         return carry.state, radiance_sum, carry.rays

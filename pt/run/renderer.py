@@ -68,8 +68,10 @@ def _raygen_jit(px, py, width, height, inv_view, inv_proj, state, settings):
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "sort_rays"))
-def _bounce_jit(ds, tex, accel, carry, settings, sort_rays=True):
-    carry = bounce_once(ds, tex, accel, carry, settings, sort_rays)
+def _bounce_jit(ds, tex, accel, carry, settings, sort_rays=True,
+                rr_div=1.0):
+    carry = bounce_once(ds, tex, accel, carry, settings, sort_rays,
+                        rr_div=rr_div)
     return carry, jnp.sum(carry.alive.astype(jnp.int32))
 
 
@@ -85,15 +87,28 @@ def _accumulate_jit(carry: BounceCarry, accum, rays_total, film_perm):
 
 
 @functools.partial(jax.jit, static_argnames=("g",))
-def _accumulate_group_jit(carry: BounceCarry, accum, rays_total, film_perm,
-                          g: int):
-    """Fold a G-sample spp-major group into the film: lanes are laid out
-    (pixel-tile-order, rep) so each pixel's g samples are adjacent —
-    reduce them in rep order, then one unique-index scatter-add."""
-    from pt.render.integrator import _finite_or_zero
-    rad = _finite_or_zero(carry.radiance).reshape(-1, g, 3).sum(axis=1)
-    flat = accum.reshape(-1, 3).at[film_perm].add(rad)
-    return flat.reshape(accum.shape), rays_total + carry.rays
+def _split_all_jit(carry: BounceCarry, g: int) -> BounceCarry:
+    """De-interleave a g-sample spp-major group (lane layout pixel*g+rep)
+    into rep-major (g, n, ...) stacks with ONE transpose per array —
+    per-rep strided slices (a[rep::g]) lower as pathological sub-128
+    gathers on TPU (docs/perf_budget.md §4); a dense transpose is one
+    relayout pass, and the per-rep reads become contiguous static
+    slices. The scalar ray counter is zeroed — the grouped bounce-0
+    count is booked once by the caller."""
+    def de(a):
+        if not a.ndim:
+            return jnp.zeros((g,), jnp.int32)
+        stacked = a.reshape(-1, g, *a.shape[1:])
+        return jnp.swapaxes(stacked, 0, 1)
+    return jax.tree_util.tree_map(de, carry)
+
+
+@jax.jit
+def _take_rep_jit(stacked: BounceCarry, rep) -> BounceCarry:
+    """Contiguous per-rep slice of a de-interleaved carry stack."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, rep, 0, keepdims=False),
+        stacked)
 
 
 _LUM = np.array([0.2126, 0.7152, 0.0722], np.float32)
@@ -239,11 +254,11 @@ class _ShardedStages:
             # coherence sort must be skipped there (the single-device
             # path measured sorting bounce 0 as a pure loss)
             @functools.partial(jax.shard_map, mesh=mesh,
-                               in_specs=(P(), P(), P(), cspec),
+                               in_specs=(P(), P(), P(), cspec, P()),
                                out_specs=(cspec, P(), P()), check_vma=False)
-            def bounce_stage(ds, tex, accel, carry):
+            def bounce_stage(ds, tex, accel, carry, rr_div):
                 out = bounce_once(ds, tex, accel, carry, settings,
-                                  sort_rays)
+                                  sort_rays, rr_div=rr_div)
                 # carry.rays stays zero in sharded mode; report this
                 # bounce's global ray count separately (one psum per
                 # bounce). The per-shard MAX live count sizes the next
@@ -695,11 +710,18 @@ class Renderer:
 
     def _render_group(self, g: int, rep0: int, inv_view, inv_proj,
                       jset) -> None:
-        """Trace one g-sample spp-major wavefront (reps rep0..rep0+g-1)
-        and fold it into the film. Each lane seeds its own
-        (pixel, total_samples + rep) RNG stream — identical streams to g
-        repeated render(1) calls, so grouping only changes dispatch
-        shape, not the estimator."""
+        """Trace one g-sample spp-major group (reps rep0..rep0+g-1) and
+        fold it into the film.
+
+        Hybrid dispatch (measured, benches/rr_ttc.py): the COHERENT part
+        (primary trace + shade + NEE of bounce 0) runs as ONE g-merged
+        wavefront — g near-identical rays per pixel share each packet, so
+        the coherent stage runs ~1.8x faster than g separate dispatches —
+        then the carry SPLITS back into per-sample wavefronts for the
+        incoherent bounces, where g-merged cones measured 66% slower
+        (denser origins do not shrink hemisphere-spread unions; see
+        docs/perf_budget.md §11). Each lane seeds its own
+        (pixel, total_samples + rep) RNG stream == repeated render(1)."""
         n_full = self.width * self.height
         if g == 1:
             px, py = self._px, self._py
@@ -710,28 +732,52 @@ class Renderer:
         state = _init_state_jit(px, py, self.width, frames)
         carry = _raygen_jit(px, py, self.width, self.height, inv_view,
                             inv_proj, state, jset)
-        n_lanes = n_full * g
-        # compaction plan from previously observed live counts, keyed by
-        # dispatch width: any host readback mid-pipeline costs a ~30 ms
-        # sync on this platform, so live counts are fetched ONCE per
-        # observation and drive later dispatches' size classes with 1.35x
-        # headroom (live counts only drift by RNG noise between renders;
-        # film/settings changes reset the plans entirely)
+        # bounce 0 (never compacted: all lanes are live)
+        carry, _ = _bounce_jit(self.ds, self.tex, self.accel, carry,
+                               jset, False, self._rr_div(0))
+        if g == 1:
+            full = self._trace_tail(carry, jset, n_full)
+            self.accum, rt = _accumulate_jit(full, self.accum,
+                                             jnp.zeros((), jnp.int32),
+                                             self._film_perm)
+            self._rays_chunks.append(rt)
+            return
+        self._rays_chunks.append(carry.rays)     # grouped bounce-0 rays
+        stacked = _split_all_jit(carry, g)       # rays zeroed in the subs
+        for r in range(g):
+            sub = _take_rep_jit(stacked, r)
+            full = self._trace_tail(sub, jset, n_full, observe_ok=(r == 0))
+            self.accum, rt = _accumulate_jit(full, self.accum,
+                                             jnp.zeros((), jnp.int32),
+                                             self._film_perm)
+            self._rays_chunks.append(rt)
+
+    def _trace_tail(self, carry: BounceCarry, jset, n_lanes: int,
+                    observe_ok: bool = True) -> BounceCarry:
+        """Bounces 1..B-1 with wavefront compaction over an n_lanes-wide
+        carry. Compaction plans (size classes per bounce) come from
+        previously observed live counts, keyed by dispatch width: any
+        host readback mid-pipeline costs a ~30 ms sync on this platform,
+        so live counts are fetched ONCE per observation and drive later
+        dispatches' classes with 1.35x headroom (live counts only drift
+        by RNG noise between renders; film/settings changes reset the
+        plans entirely). During re-observation the (stale) plan is NOT
+        applied — compaction by an undersized class would truncate live
+        paths AND clamp the very counts meant to correct it."""
         plan = self._plans.get(n_lanes)
-        # re-observation: the (stale) plan is NOT applied to the observed
-        # group — compaction by an undersized class would truncate live
-        # paths AND clamp the very counts meant to correct it
-        observe = plan is None or self._plan_ages.get(n_lanes, 0) >= 16
+        observe = observe_ok and (plan is None
+                                  or self._plan_ages.get(n_lanes, 0) >= 16)
         full = carry
         perm = None
         cur_n = n_lanes
         alive_obs = [] if observe else None
-        for bounce in range(self.settings.bounce_count):
+        for bounce in range(1, self.settings.bounce_count):
             carry, alive_count = _bounce_jit(self.ds, self.tex, self.accel,
-                                             carry, jset, bounce > 0)
+                                             carry, jset, True,
+                                             self._rr_div(bounce))
             if alive_obs is not None:
                 alive_obs.append(alive_count)
-            k = (plan[bounce] if plan and bounce < len(plan)
+            k = (plan[bounce - 1] if plan and bounce - 1 < len(plan)
                  and not observe else None)
             if (k is not None and k <= cur_n // 2
                     and bounce < self.settings.bounce_count - 1):
@@ -745,23 +791,26 @@ class Renderer:
             full = _scatter_jit(full, carry, perm)
         else:
             full = carry
-        if g == 1:
-            self.accum, rt = _accumulate_jit(full, self.accum,
-                                             jnp.zeros((), jnp.int32),
-                                             self._film_perm)
-        else:
-            self.accum, rt = _accumulate_group_jit(full, self.accum,
-                                                   jnp.zeros((), jnp.int32),
-                                                   self._film_perm, g)
-        self._rays_chunks.append(rt)
-        if alive_obs is not None:
+        if alive_obs:
             counts = np.asarray(jnp.stack(alive_obs))   # one batched sync
             self._plans[n_lanes] = [
                 _size_class(int(1.35 * c)) if c > 0 else 1024
                 for c in counts]
             self._plan_ages[n_lanes] = 0
-        else:
+        elif observe_ok:
+            # age once per render step (the observing rep), not once per
+            # rep — otherwise a g-sample group ages g× too fast and
+            # re-observes (a full uncompacted sample + a ~30 ms sync)
+            # every 16/g steps instead of every 16
             self._plan_ages[n_lanes] = self._plan_ages.get(n_lanes, 0) + 1
+        return full
+
+    def _rr_div(self, bounce: int) -> float:
+        """Per-bounce RR truncation divisor (traced jit arg — floats do
+        not mint compile variants): rr_scale at bounces >=
+        rr_start_bounce, the reference rule before."""
+        s = self.settings
+        return s.rr_scale if bounce >= s.rr_start_bounce else 1.0
 
     def _jit_settings(self):
         """Settings instance for the per-stage jits: sample_count is
@@ -946,7 +995,8 @@ class Renderer:
                     for bounce in range(self.settings.bounce_count):
                         carry, alive_count = _bounce_jit(
                             self.ds, self.tex, self.accel, carry,
-                            self._jit_settings(), bounce > 0)
+                            self._jit_settings(), bounce > 0,
+                            self._rr_div(bounce))
                         if alive_obs is not None:
                             alive_obs.append(alive_count)
                         kk = (plan[bounce]
@@ -1103,7 +1153,8 @@ class Renderer:
                         stage = (self._stages.bounce if bounce > 0
                                  else self._stages.bounce0)
                         carry, alive_max, rays_delta = stage(
-                            self.ds, self.tex, self.accel, carry)
+                            self.ds, self.tex, self.accel, carry,
+                            jnp.float32(self._rr_div(bounce)))
                         rt = rt + rays_delta
                         if alive_obs is not None:
                             alive_obs.append(alive_max)
@@ -1185,7 +1236,8 @@ class Renderer:
                 stage = (self._stages.bounce if bounce > 0
                          else self._stages.bounce0)
                 carry, alive_max, rays_delta = stage(
-                    self.ds, self.tex, self.accel, carry)
+                    self.ds, self.tex, self.accel, carry,
+                    jnp.float32(self._rr_div(bounce)))
                 rt = rt + rays_delta
                 if s == 0 and observe:
                     alive_obs.append(alive_max)

@@ -92,7 +92,7 @@ class TestFlags:
     def test_force_opaque_on_alpha_scene(self):
         from pt.scene.standin import make_courtyard_scene
         from pt.scene.textures import build_scene_textures
-        scene = make_courtyard_scene(detail=0.3)
+        scene = make_courtyard_scene(detail=0.3, tex_scale=1 / 16)
         ds = flatten_scene(scene)
         tex = build_scene_textures(scene)
         cam = scene.cameras[0]

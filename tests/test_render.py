@@ -161,10 +161,11 @@ def test_compaction_bit_identical(default_setup):
     r.on_resize(48, 48)                # 2304 lanes → compacts to 1024
     r.render(2)                        # first call observes counts
     r.render(2)                        # second call compacts by plan
-    # 48x48 px x spp-group 2 → one 4608-lane dispatch key
-    plan = r._plans.get(48 * 48 * 2)
+    # incoherent-tail dispatches run per-sample at film width (the
+    # hybrid splits the spp-group after the coherent bounce 0)
+    plan = r._plans.get(48 * 48)
     assert plan is not None
-    assert min(plan) <= 2304, "plan should trigger compaction"
+    assert min(plan) <= 1152, "plan should trigger compaction"
     with_compact = np.asarray(r.accum)
 
     # disable compaction by making the size class huge
@@ -288,3 +289,23 @@ def test_rays_traced_chunks_fold_and_checkpoint(default_setup, tmp_path):
     r2.on_resize(16, 16)
     r2.load_checkpoint(str(path))
     assert r2.rays_traced == total
+
+
+def test_multihost_film_assembly(default_setup):
+    """film_mesh_multihost degenerates to all local devices single-host;
+    assemble_film gathers a band-sharded film to a replicated host array
+    (the save-time-only DCN crossing, SURVEY §5)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pt.dist.mesh import assemble_film, film_mesh_multihost
+
+    mesh = film_mesh_multihost()
+    assert mesh.devices.size == len(jax.devices())
+    film = jnp.arange(mesh.devices.size * 4 * 3, dtype=jnp.float32) \
+        .reshape(mesh.devices.size * 4, 1, 3)
+    sharded = jax.device_put(
+        film, NamedSharding(mesh, P(mesh.axis_names[0])))
+    out = assemble_film(sharded, mesh)
+    np.testing.assert_array_equal(out, np.asarray(film))

@@ -13,12 +13,12 @@ from pt.scene.standin import make_courtyard_scene
 
 @pytest.fixture(scope="module")
 def scene():
-    return make_courtyard_scene(detail=0.3)    # small variant for tests
+    return make_courtyard_scene(detail=0.3, tex_scale=1 / 16)   # small for tests
 
 
 @pytest.fixture(scope="module")
 def full_counts():
-    ds = flatten_scene(make_courtyard_scene())
+    ds = flatten_scene(make_courtyard_scene(tex_scale=1 / 16))
     return ds
 
 
@@ -105,7 +105,7 @@ class TestFlythrough:
 
     def test_orbit_kinematics(self):
         from pt.scene.standin import make_courtyard_flythrough_scene
-        s = make_courtyard_flythrough_scene(detail=0.25)
+        s = make_courtyard_flythrough_scene(detail=0.25, tex_scale=1 / 16)
         cam = s.cameras[0]
         s.update(0.0)
         p0 = cam.position.copy()
@@ -124,7 +124,7 @@ class TestFlythrough:
         from pt.render.integrator import PathTracingSettings
         from pt.run.renderer import Renderer
         from pt.scene.standin import make_courtyard_flythrough_scene
-        s = make_courtyard_flythrough_scene(detail=0.25)
+        s = make_courtyard_flythrough_scene(detail=0.25, tex_scale=1 / 16)
         r = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
                                          backend="bvh"))
         r.set_scene(s, stream_textures=False)
@@ -144,7 +144,7 @@ class TestFlythrough:
         from pt.run.renderer import Renderer
         from pt.scene.standin import (make_courtyard_flythrough_scene,
                                       make_courtyard_scene)
-        s = make_courtyard_flythrough_scene(detail=0.25)
+        s = make_courtyard_flythrough_scene(detail=0.25, tex_scale=1 / 16)
         assert len(s.cameras) == 2
         r = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
                                          backend="bvh"))
@@ -153,7 +153,7 @@ class TestFlythrough:
         r.camera_index = 1                  # the static InputCamera
         r.render(1)
         img_static = r.snapshot()
-        base = make_courtyard_scene(detail=0.25)
+        base = make_courtyard_scene(detail=0.25, tex_scale=1 / 16)
         rb = Renderer(PathTracingSettings(sample_count=1, bounce_count=2,
                                           backend="bvh"))
         rb.set_scene(base, stream_textures=False)
