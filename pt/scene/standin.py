@@ -25,31 +25,72 @@ from pt.scene.types import (DirectionalLight, Geometry, MeshInfo,
                             SkyboxKind, TextureInfo, TextureType)
 
 
-def _noise_texture(rng, n, base, contrast=0.6, alpha=None):
-    yy, xx = np.meshgrid(np.linspace(0, 8, n), np.linspace(0, 8, n),
+# process-level cache of the deterministic procedural fields: the bench
+# scripts construct the courtyard many times, and generating Sponza-class
+# texture sizes (4k/2k/1k, VERDICT round-2 task 3) is the expensive part
+# of a scene build. Keyed by (size, phases) — content-identical hits only.
+_FIELD_CACHE: dict = {}
+
+
+def _field(n: int, phase) -> np.ndarray:
+    """Band-limited procedural field in [0, 1] at any size: the two
+    low-frequency octaves round 2 used, plus a higher octave (derived
+    from the same phases, no extra rng draws) so large textures carry
+    texel-scale detail for the mip chain to resolve."""
+    key = (n, tuple(np.round(np.asarray(phase), 9)))
+    cached = _FIELD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    yy, xx = np.meshgrid(np.linspace(0, 8, n, dtype=np.float32),
+                         np.linspace(0, 8, n, dtype=np.float32),
                          indexing="ij")
-    phase = rng.uniform(0, 2 * math.pi, 4)
     f = (np.sin(xx * 1.0 + phase[0]) * np.cos(yy * 1.3 + phase[1])
-         + 0.5 * np.sin(xx * 3.1 + phase[2]) * np.sin(yy * 2.7 + phase[3]))
+         + 0.5 * np.sin(xx * 3.1 + phase[2]) * np.sin(yy * 2.7 + phase[3])
+         + 0.25 * np.sin(xx * 17.3 + phase[2] * 1.7)
+         * np.cos(yy * 15.1 + phase[3] * 1.3))
     f = (f - f.min()) / max(float(np.ptp(f)), 1e-9)
+    _FIELD_CACHE[key] = f
+    return f
+
+
+def _noise_texture(rng, n, base, contrast=0.6, alpha=None):
+    phase = rng.uniform(0, 2 * math.pi, 4)
+    f = _field(n, phase)
     rgb = np.asarray(base)[None, None] * (1 - contrast + contrast * f[..., None])
     a = np.ones((n, n, 1)) if alpha is None else alpha[..., None]
     return np.concatenate([rgb, a], -1).astype(np.float32)
 
 
 def _pbr_set(builder, rng, name, base, rough_lo=0.4, rough_hi=0.95,
-             metal=0.0, alpha=None):
-    """color/normal/roughness texture triple + material."""
-    n = 96
-    color = _noise_texture(rng, n, base, alpha=alpha)
-    slope = np.gradient(color[..., 0], axis=0), \
-        np.gradient(color[..., 0], axis=1)
-    nrm = np.stack([-slope[1], -slope[0], np.ones((n, n)) * 0.25], -1)
+             metal=0.0, alpha=None, sizes=(1024, 512, 512)):
+    """color/normal/roughness texture triple + material. `sizes` are the
+    per-map resolutions (color, normal, roughness) — authored at
+    Sponza-class sizes so mip-select + bilinear gather cost at benchmark
+    scale is real (≙ the 1k-4k content TextureUploader budgets for,
+    TextureUploader.cpp:551-595); the texture budget machinery downsizes
+    exactly like the reference when the pool would exceed the VRAM
+    budget."""
+    phase = rng.uniform(0, 2 * math.pi, 4)
+    n_c, n_n, n_r = sizes
+
+    def colorize(f):
+        rgb = np.asarray(base)[None, None] * (1 - 0.6 + 0.6 * f[..., None])
+        a = (np.ones((*f.shape, 1)) if alpha is None
+             else alpha[..., None])
+        return np.concatenate([rgb, a], -1).astype(np.float32)
+
+    color = colorize(_field(n_c, phase))
+    f_n = _field(n_n, phase)
+    slope = np.gradient(f_n, axis=0), np.gradient(f_n, axis=1)
+    nrm = np.stack([-slope[1] * np.asarray(base)[0],
+                    -slope[0] * np.asarray(base)[0],
+                    np.ones((n_n, n_n)) * 0.25 / n_n * 96], -1)
     nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
-    normal = np.concatenate([nrm * 0.5 + 0.5, np.ones((n, n, 1))],
+    normal = np.concatenate([nrm * 0.5 + 0.5, np.ones((n_n, n_n, 1))],
                             -1).astype(np.float32)
+    f_r = _field(n_r, phase)[..., None]
     rough = np.repeat(
-        (rough_lo + (rough_hi - rough_lo) * color[..., :1]), 4,
+        (rough_lo + (rough_hi - rough_lo) * np.asarray(base)[0] * f_r), 4,
         -1).astype(np.float32)
 
     def add(px, t, srgb):
@@ -158,30 +199,46 @@ def _tr(x, y, z, s=1.0, ry=0.0):
     return m
 
 
-def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
+def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0,
+                           tex_scale: float = 1.0) -> None:
     rng = np.random.default_rng(42)
     d = detail
 
-    # --- materials (21 textured + 1 emissive = 22) --------------------------
-    floor_m = _pbr_set(builder, rng, "floor-stone", (0.55, 0.52, 0.48))
-    wall_ms = [_pbr_set(builder, rng, f"wall-{i}", c) for i, c in enumerate(
+    def sz(*sizes):
+        # Sponza-class authored sizes scaled by tex_scale (tests pass a
+        # small scale; the bench measures the real 4k/2k/1k mix)
+        return tuple(max(64, int(s * tex_scale)) for s in sizes)
+
+    # --- materials (21 textured + 1 emissive = 22); texture sizes follow
+    # Intel-Sponza-class content: hero surfaces 4k color + 2k normal,
+    # secondary 2k/1k, props 1k/512 (VERDICT round-2 task 3) ------------
+    floor_m = _pbr_set(builder, rng, "floor-stone", (0.55, 0.52, 0.48),
+                       sizes=sz(4096, 2048, 1024))
+    wall_sizes = [sz(4096, 2048, 1024)] + [sz(2048, 1024, 1024)] * 3
+    wall_ms = [_pbr_set(builder, rng, f"wall-{i}", c, sizes=wall_sizes[i])
+               for i, c in enumerate(
         [(0.75, 0.68, 0.58), (0.7, 0.6, 0.5), (0.62, 0.58, 0.52),
          (0.58, 0.5, 0.44)])]
-    curtain_ms = [_pbr_set(builder, rng, f"curtain-{i}", c, 0.6, 0.95)
+    curtain_ms = [_pbr_set(builder, rng, f"curtain-{i}", c, 0.6, 0.95,
+                           sizes=sz(1024, 512, 512))
                   for i, c in enumerate([(0.65, 0.12, 0.12),
                                          (0.12, 0.35, 0.12),
                                          (0.15, 0.2, 0.55)])]
-    column_ms = [_pbr_set(builder, rng, f"column-{i}", c)
+    column_ms = [_pbr_set(builder, rng, f"column-{i}", c,
+                          sizes=sz(2048, 1024, 512))
                  for i, c in enumerate([(0.8, 0.78, 0.72), (0.7, 0.68, 0.62),
                                         (0.6, 0.58, 0.55)])]
-    rock_ms = [_pbr_set(builder, rng, f"rock-{i}", c)
+    rock_ms = [_pbr_set(builder, rng, f"rock-{i}", c,
+                        sizes=sz(1024, 512, 512))
                for i, c in enumerate([(0.4, 0.38, 0.36), (0.35, 0.3, 0.28)])]
-    metal_ms = [_pbr_set(builder, rng, f"metal-{i}", c, 0.15, 0.5, metal=1.0)
+    metal_ms = [_pbr_set(builder, rng, f"metal-{i}", c, 0.15, 0.5, metal=1.0,
+                         sizes=sz(1024, 1024, 512))
                 for i, c in enumerate([(0.9, 0.7, 0.3), (0.6, 0.6, 0.65),
                                        (0.5, 0.35, 0.2)])]
-    trim_ms = [_pbr_set(builder, rng, f"trim-{i}", c)
+    trim_ms = [_pbr_set(builder, rng, f"trim-{i}", c, sizes=sz(512, 512, 512))
                for i, c in enumerate([(0.45, 0.42, 0.4), (0.3, 0.28, 0.26)])]
-    pot_m = _pbr_set(builder, rng, "pot-terracotta", (0.65, 0.35, 0.22))
+    pot_m = _pbr_set(builder, rng, "pot-terracotta", (0.65, 0.35, 0.22),
+                     sizes=sz(1024, 512, 512))
     water_m = builder.add_material("water", MetallicRoughnessMaterial(
         color=(0.8, 0.9, 0.95, 1.0), roughness=0.02, metalness=0.0,
         ior=1.33, transmission=0.9, attenuation_color=(0.6, 0.8, 0.9),
@@ -191,7 +248,7 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
         emissive_intensity=30.0, roughness=1.0))
 
     # foliage: alpha-tested leaf cards (MASK semantics, any-hit path)
-    n = 96
+    n = max(64, int(1024 * tex_scale))
     yy, xx = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n),
                          indexing="ij")
     leaf_mask = np.zeros((n, n))
@@ -364,9 +421,10 @@ def create_courtyard_scene(builder: SceneBuilder, detail: float = 1.0) -> None:
                                    (1.0, 0.08, 0.12)))
 
 
-def make_courtyard_scene(detail: float = 1.0) -> Scene:
+def make_courtyard_scene(detail: float = 1.0,
+                         tex_scale: float = 1.0) -> Scene:
     b = SceneBuilder("Courtyard")
-    create_courtyard_scene(b, detail)
+    create_courtyard_scene(b, detail, tex_scale)
     return b.create_scene()
 
 
@@ -386,14 +444,15 @@ class _DeferredOrbitCamera:
 
 
 def create_courtyard_flythrough_scene(b: SceneBuilder,
-                                      detail: float = 1.0) -> None:
+                                      detail: float = 1.0,
+                                      tex_scale: float = 1.0) -> None:
     """Courtyard with a keyframed orbiting camera: a node at the court
     center rotates about +Y (quaternion keys, slerp) carrying a
     node-attached AnimatedCamera — the AnimatedCamera + offline-video
     path on the flagship scene (≙ the reference's camera-path MP4 flow,
     OutputSaver + AnimatedCamera). One full orbit = 4 s (96 ticks @ 24)."""
     from pt.scene.graph import Animation, AnimationNode, KeySequence
-    create_courtyard_scene(b, detail)
+    create_courtyard_scene(b, detail, tex_scale)
     orbit = b.add_scene_node(0, np.eye(4))
     angles = np.linspace(0.0, 2.0 * np.pi, 9)
     quats = np.stack([np.cos(angles / 2), np.zeros_like(angles),
@@ -414,7 +473,8 @@ def create_courtyard_flythrough_scene(b: SceneBuilder,
     b.cameras.insert(0, b.cameras.pop())
 
 
-def make_courtyard_flythrough_scene(detail: float = 1.0) -> Scene:
+def make_courtyard_flythrough_scene(detail: float = 1.0,
+                                    tex_scale: float = 1.0) -> Scene:
     b = SceneBuilder("Courtyard Flythrough")
-    create_courtyard_flythrough_scene(b, detail)
+    create_courtyard_flythrough_scene(b, detail, tex_scale)
     return b.create_scene()
