@@ -39,11 +39,13 @@ def make_scene(name):
     return make_courtyard_scene(), (-18, 18, 0.2, 8)
 
 
-def build(ds, wpos, spatial, alpha=1e-5):
+def build(ds, wpos, spatial, alpha=1e-5, presplit=0.0, min_count=0):
     fine = build_packet_bvh_sah(np.asarray(wpos), np.asarray(ds.tri_idx),
                                 block=32, max_leaves=8192,
                                 tri_opaque_np=np.asarray(ds.tri_opaque),
-                                spatial=spatial, alpha=alpha)
+                                spatial=spatial, alpha=alpha,
+                                presplit_mult=presplit,
+                                spatial_min_count=min_count)
     assert fine is not None
     bvh = build_bf8(fine)
     assert bvh is not None, "BF8 collapse failed (SMEM budget)"
@@ -102,6 +104,28 @@ def main():
     # second round to confirm (contention guard)
     timed(sah, "closest BF8/SAH  incoherent (rep)")
     timed(sbvh, "closest BF8/SBVH incoherent (rep)")
+
+    if len(sys.argv) > 2 and sys.argv[2] == "followons":
+        # round-3 restricted-spatial follow-ons (perf_budget §7 tail):
+        # pre-split of huge tris, and top-level-only spatial tries
+        t = ds.tri_idx.shape[0]
+        for label, kw in (
+                ("SBVH+presplit16", dict(presplit=16.0)),
+                ("SBVH+presplit64", dict(presplit=64.0)),
+                ("SBVH top-only T/64", dict(min_count=max(1, t // 64))),
+                ("presplit16+top-only", dict(presplit=16.0,
+                                             min_count=max(1, t // 64)))):
+            t0 = time.time()
+            arm = build(ds, wpos, spatial=True, **kw)
+            bt = time.time() - t0
+            h = trace_closest(arm, None, None, o, d)
+            jax.block_until_ready(h.t)
+            bad = int((np.abs(np.asarray(hb.t) - np.asarray(h.t)[:m])
+                       > 1e-3).sum())
+            print(f"{label}: build {bt:.2f}s pages {arm.pages.shape} "
+                  f"mismatches {bad}/{m}", flush=True)
+            timed(arm, f"closest BF8/{label} incoherent")
+        return
 
     if len(sys.argv) > 2:
         alpha = float(sys.argv[2])

@@ -19,6 +19,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <vector>
 
 namespace {
@@ -345,6 +346,10 @@ struct SBuilder {
                                 // recommendation; raise to trade tree
                                 // quality for build speed)
     int max_nodes = 0;          // >0: abort once node count exceeds this
+    int spatial_min_count = 0;  // spatial splits only at nodes with >=
+                                // this many refs (0 = everywhere); ">=
+                                // num_tris/k" restricts them to the top
+                                // levels where overlap hurts most
     bool aborted = false;
     long long pending_lb = 0;   // minimum nodes owed by queued subtrees
 
@@ -466,7 +471,8 @@ struct SBuilder {
         float sp_cost = FLT_MAX;
         int sp_axis = -1;
         float sp_plane = 0.0f;
-        bool try_spatial = dup_budget > 0 && count > 1;
+        bool try_spatial = dup_budget > 0 && count > 1
+                        && count >= spatial_min_count;
         if (try_spatial && have_obj) {
             AABB ov;
             for (int a = 0; a < 3; ++a) {
@@ -677,6 +683,58 @@ struct SBuilder {
     }
 };
 
+// Pre-split of oversized triangle references (Ernst & Greiner 2007,
+// "Early Split Clipping", adapted to the SBVH pipeline): before the
+// recursion, repeatedly halve the reference whose clipped bounds have
+// the largest half-area, until every reference's area falls under
+// `cut_area` or `budget` duplications are spent. Huge triangles (floors,
+// walls) otherwise glue distant subtrees together and the per-node
+// spatial pass rediscovers the same planes many times over; splitting
+// them once up front is cheaper and frees per-node duplication budget
+// for genuine overlap. Splits consume the same reference budget the
+// spatial pass draws from.
+void presplit_refs(std::vector<Ref> &refs, const float *v0,
+                   const float *v1, const float *v2,
+                   float cut_area, long long &budget) {
+    auto cmp = [](const Ref &x, const Ref &y) {
+        return x.box.half_area() < y.box.half_area();
+    };
+    std::priority_queue<Ref, std::vector<Ref>, decltype(cmp)> heap(
+        cmp, std::move(refs));
+    refs.clear();
+    while (budget > 0 && !heap.empty()
+           && heap.top().box.half_area() > cut_area) {
+        Ref r = heap.top();
+        heap.pop();
+        int axis = 0;
+        float ext = -1.0f;
+        for (int a = 0; a < 3; ++a) {
+            float e = r.box.hi[a] - r.box.lo[a];
+            if (e > ext) { ext = e; axis = a; }
+        }
+        float mid = 0.5f * (r.box.lo[axis] + r.box.hi[axis]);
+        AABB lb = clip_tri_slab(v0, v1, v2, r.tri, axis,
+                                -FLT_MAX, mid, r.box);
+        AABB rb = clip_tri_slab(v0, v1, v2, r.tri, axis,
+                                mid, FLT_MAX, r.box);
+        bool lok = lb.lo[0] <= lb.hi[0];
+        bool rok = rb.lo[0] <= rb.hi[0];
+        if (lok && rok) {
+            heap.push({r.tri, lb});
+            heap.push({r.tri, rb});
+            --budget;
+        } else {
+            // needle along the split axis (fp edge): keep whole — pushing
+            // the surviving half back would loop forever on the same ref
+            refs.push_back(r);
+        }
+    }
+    while (!heap.empty()) {
+        refs.push_back(heap.top());
+        heap.pop();
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -728,7 +786,8 @@ int pt_build_sbvh(const float *v0, const float *v1, const float *v2,
                   int num_tris, int max_leaf, int max_refs,
                   int *out_order, float *out_node_lo, float *out_node_hi,
                   int *out_miss, int *out_leaf_start, int *out_leaf_count,
-                  int *out_num_refs, float alpha, int max_nodes) {
+                  int *out_num_refs, float alpha, int max_nodes,
+                  float presplit_mult, int spatial_min_count) {
     if (num_tris <= 0 || max_refs < num_tris) return 0;
     SBuilder b;
     b.v0 = v0;
@@ -738,14 +797,29 @@ int pt_build_sbvh(const float *v0, const float *v1, const float *v2,
     b.dup_budget = max_refs - num_tris;
     b.alpha = alpha;
     b.max_nodes = max_nodes;
+    b.spatial_min_count = spatial_min_count;
 
     std::vector<Ref> refs(num_tris);
     AABB root;
+    double area_sum = 0.0;
     for (int t = 0; t < num_tris; ++t) {
         refs[t] = {t, b.tri_full_box(t)};
         root.grow(refs[t].box);
+        area_sum += refs[t].box.half_area();
     }
     b.root_area = root.half_area();
+    if (presplit_mult > 0.0f && num_tris > 1) {
+        // split refs larger than presplit_mult x the mean box area; cap
+        // the spend at half the duplication budget so the per-node
+        // spatial pass keeps room to fix genuine overlap
+        long long pre_budget = b.dup_budget / 2;
+        long long before = pre_budget;
+        presplit_refs(refs, v0, v1, v2,
+                      presplit_mult
+                          * static_cast<float>(area_sum / num_tris),
+                      pre_budget);
+        b.dup_budget -= before - pre_budget;
+    }
     size_t reserve = 2 * static_cast<size_t>(max_refs);
     b.order.reserve(max_refs);
     b.node_lo.reserve(3 * reserve);

@@ -60,6 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pt_build_sbvh.argtypes = [f32p, f32p, f32p, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int, i32p,
                                       f32p, f32p, i32p, i32p, i32p, i32p,
+                                      ctypes.c_float, ctypes.c_int,
                                       ctypes.c_float, ctypes.c_int]
         _lib_handle = lib
         return lib
@@ -120,7 +121,9 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                max_leaf: int,
                ref_budget: float = 1.75,
                alpha: float = 1e-5,
-               max_nodes: int = 0):
+               max_nodes: int = 0,
+               presplit_mult: float = 0.0,
+               spatial_min_count: int = 0):
     """Run the native SBVH build (binned SAH + spatial splits, Stich et
     al. 2009). Triangles may be referenced by several leaves with clipped
     bounds, so `order` is a reference list (len ≥ T) rather than a
@@ -129,7 +132,13 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     (spatial splits are tried only when the object split's children
     overlap by more than alpha·root_area — raise it to trade tree quality
     for build speed; when no valid object split exists at all, degenerate
-    centroid-coincident ranges still try spatial splits ungated). Returns (order, node_lo, node_hi,
+    centroid-coincident ranges still try spatial splits ungated).
+    `presplit_mult` > 0 pre-splits references whose bounds exceed
+    presplit_mult x the mean triangle-box area before the recursion
+    (Ernst & Greiner 2007 early split clipping; spends at most half the
+    duplication budget). `spatial_min_count` > 0 restricts per-node
+    spatial tries to nodes holding at least that many references
+    (top-level-only spatial splits). Returns (order, node_lo, node_hi,
     miss, leaf_start, leaf_count) in threaded preorder, None when the
     native library is unavailable, or OVERFLOW when `max_nodes` > 0 and
     the build exceeded it.
@@ -159,7 +168,9 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                           max_refs, as_i(order), as_f(node_lo),
                           as_f(node_hi), as_i(miss), as_i(leaf_start),
                           as_i(leaf_count), as_i(nrefs),
-                          ctypes.c_float(alpha), max_nodes)
+                          ctypes.c_float(alpha), max_nodes,
+                          ctypes.c_float(presplit_mult),
+                          spatial_min_count)
     if n == -2:
         return OVERFLOW
     if n <= 0:

@@ -1226,7 +1226,9 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
                          tri_opaque_np=None,
                          spatial: bool = False,
                          ref_budget: float = 1.75,
-                         alpha: float = 1e-5):
+                         alpha: float = 1e-5,
+                         presplit_mult: float = 0.0,
+                         spatial_min_count: int = 0):
     """Host-side build using the native binned-SAH builder
     (csrc/sah_bvh.cpp) — higher-quality trees for static scenes
     (≙ PREFER_FAST_TRACE builds). Returns None when the native library is
@@ -1269,7 +1271,9 @@ def build_packet_bvh_sah(positions_np, tri_idx_np,
         # wasted block-32 SBVH was 1.85 s of a 3.3 s total build
         if spatial:
             result = build_sbvh(v0, v1, v2, block, ref_budget,
-                                alpha=alpha, max_nodes=max_nodes)
+                                alpha=alpha, max_nodes=max_nodes,
+                                presplit_mult=presplit_mult,
+                                spatial_min_count=spatial_min_count)
         else:
             result = build_sah(tri_lo, tri_hi, centroids, block,
                                max_nodes=max_nodes)
@@ -2335,6 +2339,223 @@ def _make_closest_kernel_bf8(n8: int, n_leaves: int, block: int,
     return kernel
 
 
+def _make_closest_kernel_bf8w(n8: int, n_leaves: int, block: int,
+                              tmin: float, n_sub: int, r_sub: int,
+                              leaf_retest: bool = True):
+    """BF8 phase-split traversal with WIDE subs: each of the `n_sub`
+    walkers owns r_sub*1024 rays (r_sub full (8,128) vreg groups per
+    quantity) instead of 1024.
+
+    Rationale (docs/perf_budget.md §2/§12): the leaf-visit union of a
+    cone grows ~3x per 8x rays, so ONE 8192-ray walker performs ~3x a
+    single 1024-ray sub's node visits where eight 1024-ray walkers
+    perform 8x (bounded by the max/laggard sub, skew 1.9x) — while the
+    per-round VECTOR volume is identical (n_sub*r_sub*8 box-vreg slab
+    tests either way) and everything else shrinks by the merge factor:
+    scalar pop/sort/push phases, DMA conditionals, and — because the
+    r_sub per-group slab results fold elementwise in vector-land before
+    ONE masked min-reduce per child — the scalar<->vector reduce syncs
+    (9 per walker per round, the v4 note's ~2.5 us round-trip cost).
+    Whether the union growth or the round-cost shrink wins is workload-
+    dependent; both directions are measured in benches/widesub_ab.py.
+
+    Layouts are exactly _make_closest_kernel_bf8's with sub s owning
+    cube groups s*r_sub..s*r_sub+r_sub-1 and lane slice
+    [s*W, (s+1)*W), W = r_sub*1024."""
+    W = r_sub * RAYS_PER_PACKET
+
+    def kernel(clox, cloy, cloz, chix, chiy, chiz, cent, *rest):
+        if leaf_retest:
+            (llox, lloy, lloz, lhix, lhiy, lhiz,
+             pages_ref, rays_ref, cube_ref,
+             out_ref, leaf_vmem, dma_sems, stack,
+             best_ref, tcube_ref) = rest
+        else:
+            (pages_ref, rays_ref, cube_ref,
+             out_ref, leaf_vmem, dma_sems, stack,
+             best_ref, tcube_ref) = rest
+        rays_mat = rays_ref[:]                   # (8, n_sub*W)
+
+        def safe_inv(a):
+            return 1.0 / jnp.where(jnp.abs(a) < 1e-12,
+                                   jnp.where(a < 0, -1e-12, 1e-12), a)
+
+        sub_rays = []                            # [s][g] ray components
+        for s in range(n_sub):
+            groups = []
+            for g in range(r_sub):
+                q = (s * r_sub + g) * 8
+                ox = cube_ref[q + 0]
+                oy = cube_ref[q + 1]
+                oz = cube_ref[q + 2]
+                dx = cube_ref[q + 4]
+                dy = cube_ref[q + 5]
+                dz = cube_ref[q + 6]
+                groups.append((ox, oy, oz,
+                               safe_inv(dx), safe_inv(dy), safe_inv(dz)))
+            sub_rays.append(groups)
+
+        def lane_to_cube_g(x, g):                # (1, W) group g -> (8,128)
+            seg = x[:, g * 1024:(g + 1) * 1024]
+            return jnp.concatenate(
+                [seg[:, i * 128:(i + 1) * 128] for i in range(8)], axis=0)
+
+        def slab_wide(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, s):
+            """Masked tnear over ALL of sub s's groups, folded elementwise
+            to ONE (8, 128) array so the caller pays a single scalar
+            reduce (inf where no hit)."""
+            tn_comb = None
+            for g in range(r_sub):
+                ox, oy, oz, ix, iy, iz = sub_rays[s][g]
+                t_cube = tcube_ref[(s * r_sub + g) * 8:
+                                   (s * r_sub + g + 1) * 8, :]
+                h, tn = _slab_t(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z,
+                                ox, oy, oz, ix, iy, iz, t_cube)
+                v = jnp.where(h, jnp.maximum(tn, 0.0), jnp.inf)
+                tn_comb = v if tn_comb is None else jnp.minimum(tn_comb, v)
+            return tn_comb
+
+        def cond(state):
+            sps = state[0]
+            total = sps[0]
+            for s in range(1, n_sub):
+                total = total + sps[s]
+            return total > 0
+
+        def body(state):
+            sps, rounds, done_at = state
+
+            # phase 0: scalar pop/classify + leaf DMA prefetch
+            popped = []
+            for s in range(n_sub):
+                live = sps[s] > 0
+                spp = jnp.maximum(sps[s] - 1, 0)
+                ent = stack[s * 128 + spp]
+                is_leaf = live & (ent >= LEAF_BIT)
+                lid = jnp.clip(ent - LEAF_BIT, 0, n_leaves - 1)
+                node8 = jnp.clip(ent, 0, n8 - 1)
+                popped.append((spp, ent, is_leaf, lid, node8, live))
+
+                def start_dma(q, s=s, lid=lid):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).start()
+                    return q
+                jax.lax.cond(is_leaf, start_dma, lambda q: q, jnp.int32(0))
+
+            # phase 1: unconditional vector tests (one scalar reduce per
+            # child / leaf retest, over the group-folded arrays)
+            results = []
+            for s in range(n_sub):
+                _, _, _, lid, node8, _ = popped[s]
+                tmins = []
+                for c in range(8):
+                    k = node8 * 8 + c
+                    tn = slab_wide(clox[k], cloy[k], cloz[k],
+                                   chix[k], chiy[k], chiz[k], s)
+                    tmins.append(jnp.min(tn))
+                if leaf_retest:
+                    ln = slab_wide(llox[lid], lloy[lid], lloz[lid],
+                                   lhix[lid], lhiy[lid], lhiz[lid], s)
+                    leaf_any = jnp.sum(jnp.where(ln < jnp.inf, 1, 0))
+                else:
+                    leaf_any = jnp.int32(1)
+                results.append((tmins, leaf_any))
+
+            # phase 2: scalar sort/push or leaf intersect
+            new_sps = []
+            for s in range(n_sub):
+                spp, ent, is_leaf, lid, node8, live = popped[s]
+                tmins, leaf_any = results[s]
+                base = s * 128
+                lanes = slice(s * W, (s + 1) * W)
+                brow = s * 4
+
+                def do_leaf(q, s=s, lid=lid, lanes=lanes, brow=brow,
+                            leaf_any=leaf_any):
+                    pltpu.make_async_copy(pages_ref.at[lid],
+                                          leaf_vmem.at[s],
+                                          dma_sems.at[s]).wait()
+
+                    def intersect(q, s=s, lanes=lanes, brow=brow):
+                        t_lane = best_ref[brow:brow + 1, :]
+                        t_cand, u_c, v_c, ids = _leaf_intersect(
+                            leaf_vmem[s], rays_mat[:, lanes], tmin,
+                            t_lane, block)
+                        t_min, better, sel_id, sel_u, sel_v = \
+                            _select_best_hit(t_cand, u_c, v_c, ids, t_lane)
+                        t_new = jnp.where(better, t_min, t_lane)
+                        sel_bits = jax.lax.bitcast_convert_type(
+                            sel_id, jnp.float32)
+                        best_ref[brow:brow + 1, :] = t_new
+                        best_ref[brow + 1:brow + 2, :] = jnp.where(
+                            better, sel_bits,
+                            best_ref[brow + 1:brow + 2, :])
+                        best_ref[brow + 2:brow + 3, :] = jnp.where(
+                            better, sel_u,
+                            best_ref[brow + 2:brow + 3, :])
+                        best_ref[brow + 3:brow + 4, :] = jnp.where(
+                            better, sel_v,
+                            best_ref[brow + 3:brow + 4, :])
+                        for g in range(r_sub):
+                            tcube_ref[(s * r_sub + g) * 8:
+                                      (s * r_sub + g + 1) * 8, :] = \
+                                lane_to_cube_g(t_new, g)
+                        return q
+                    return jax.lax.cond(leaf_any > 0, intersect,
+                                        lambda q: q, q)
+
+                def do_internal(q, s=s, base=base, node8=node8,
+                                tmins=tmins):
+                    ents = [(tmins[c], cent[node8 * 8 + c])
+                            for c in range(8)]
+                    for t_c, e_c in _sort8_desc(ents):
+                        stack[base + jnp.minimum(q, 126)] = e_c
+                        q = q + jnp.where(t_c < jnp.inf, 1, 0)
+                    return jnp.minimum(q, 126)
+
+                res = jax.lax.cond(is_leaf, do_leaf, do_internal, spp)
+                new_sps.append(jnp.where(live, res, jnp.int32(0)))
+
+            new_done = tuple(
+                jnp.where(popped[s][5], rounds + 1, done_at[s])
+                for s in range(n_sub))
+            return (tuple(new_sps), rounds + 1, new_done)
+
+        minus1 = jax.lax.bitcast_convert_type(
+            jnp.full((1, W), -1, jnp.int32), jnp.float32)
+        for s in range(n_sub):
+            stack[s * 128] = jnp.int32(0)
+            t0 = rays_mat[7:8, s * W:(s + 1) * W]
+            best_ref[s * 4:s * 4 + 1, :] = t0
+            best_ref[s * 4 + 1:s * 4 + 2, :] = minus1
+            best_ref[s * 4 + 2:s * 4 + 3, :] = jnp.zeros((1, W),
+                                                         jnp.float32)
+            best_ref[s * 4 + 3:s * 4 + 4, :] = jnp.zeros((1, W),
+                                                         jnp.float32)
+            for g in range(r_sub):
+                tcube_ref[(s * r_sub + g) * 8:
+                          (s * r_sub + g + 1) * 8, :] = \
+                    cube_ref[(s * r_sub + g) * 8 + 7]
+        init = (tuple(jnp.int32(1) for _ in range(n_sub)), jnp.int32(0),
+                tuple(jnp.int32(0) for _ in range(n_sub)))
+        _, rounds, done_at = jax.lax.while_loop(cond, body, init)
+        cat = lambda i: jnp.concatenate(
+            [best_ref[s * 4 + i:s * 4 + i + 1, :] for s in range(n_sub)],
+            axis=1)
+        width = n_sub * W
+        done_row = jnp.concatenate(
+            [jnp.full((1, W), done_at[s], jnp.float32)
+             for s in range(n_sub)], axis=1)
+        out_ref[:] = jnp.concatenate(
+            [cat(0), cat(1), cat(2), cat(3),
+             jnp.full((1, width), rounds, jnp.float32),
+             done_row,
+             jnp.zeros((2, width), jnp.float32)], axis=0)
+
+    return kernel
+
+
 def _make_occluded_kernel_bf8(n8: int, n_leaves: int, block: int,
                               tmin: float, n_sub: int,
                               leaf_retest: bool = True,
@@ -2974,6 +3195,58 @@ def packet_closest_bf8(bvh8: BF8BVH, origins, dirs, tmax,
       bvh8.pages, rays_mat, cube)
     out = out.reshape(p, 8, width)
     pick = lambda r: out[:, r, :].reshape(-1)[:n]
+    return Hit(pick(0),
+               _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
+                                                             jnp.int32)),
+               pick(2), pick(3))
+
+
+@functools.partial(jax.jit, static_argnames=("tmin", "r_sub"))
+def packet_closest_bf8w(bvh8: BF8BVH, origins, dirs, tmax,
+                        tmin=1e-5, r_sub: int = 8) -> Hit:
+    """Closest-hit via the wide-sub BF8 kernel — see
+    _make_closest_kernel_bf8w. `r_sub` 1024-ray vreg groups per walker
+    (clipped to the dispatch's group count; r_sub=1 == packet_closest_bf8
+    modulo the fold)."""
+    n = origins.shape[0]
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays_mat, cube, p, n_groups = _pack_inputs_v3(origins, dirs, tmax,
+                                                  tmin, n)
+    r = min(r_sub, n_groups)
+    while n_groups % r:
+        r -= 1
+    n_sub = n_groups // r
+    width = n_groups * RAYS_PER_PACKET
+
+    kernel = _make_closest_kernel_bf8w(bvh8.n8, bvh8.n_leaves, bvh8.block,
+                                       tmin, n_sub, r, bvh8.leaf_retest)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    mat = pl.BlockSpec((8, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    cub = pl.BlockSpec((n_groups * 8, 8, 128), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=[_smem_spec()] * (13 if bvh8.leaf_retest else 7)
+        + [hbm, mat, cub],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct((p * 8, width), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n_sub, 8, _page_cols(bvh8.block)),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((n_sub,)),
+                        pltpu.SMEM((n_sub * 128,), jnp.int32),
+                        pltpu.VMEM((n_sub * 4, r * RAYS_PER_PACKET),
+                                   jnp.float32),
+                        pltpu.VMEM((n_groups * 8, 128), jnp.float32)],
+    )(bvh8.c_lo[:, 0], bvh8.c_lo[:, 1], bvh8.c_lo[:, 2],
+      bvh8.c_hi[:, 0], bvh8.c_hi[:, 1], bvh8.c_hi[:, 2], bvh8.c_ent,
+      *((bvh8.l_lo[:, 0], bvh8.l_lo[:, 1], bvh8.l_lo[:, 2],
+         bvh8.l_hi[:, 0], bvh8.l_hi[:, 1], bvh8.l_hi[:, 2])
+        if bvh8.leaf_retest else ()),
+      bvh8.pages, rays_mat, cube)
+    out = out.reshape(p, 8, width)
+    pick = lambda r_: out[:, r_, :].reshape(-1)[:n]
     return Hit(pick(0),
                _strip_alpha_bit(jax.lax.bitcast_convert_type(pick(1),
                                                              jnp.int32)),

@@ -175,3 +175,52 @@ def test_sbvh_node_budget_abort():
     budgeted = build_sbvh(v0, v1, v2, 16, max_nodes=n_nodes)
     for a, b in zip(full, budgeted):
         np.testing.assert_array_equal(a, b)
+
+
+def test_sbvh_presplit():
+    """presplit_mult: the huge diagonal bait triangles are split into
+    multiple clipped references BEFORE the recursion even when the
+    per-node spatial pass is alpha-disabled — and closest hits still
+    match brute force. (Ernst & Greiner 2007 early split clipping.)"""
+    v0, v1, v2 = _soup(600, seed=3)
+    # alpha=1 disables per-node spatial tries; only presplit can dup
+    res = build_sbvh(v0, v1, v2, 16, alpha=1.0, presplit_mult=16.0)
+    order = res[0]
+    assert len(order) > 600                       # presplit duplicated
+    assert set(order.tolist()) == set(range(600))  # every tri covered
+    # the duplicates are exactly the oversized bait (first 5 tris)
+    dup = [t for t in range(600) if (order == t).sum() > 1]
+    assert set(dup) <= set(range(5)) and len(dup) > 0
+    rng = np.random.default_rng(13)
+    o = rng.uniform(-2, 12, (48, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (48, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tb_brute, _ = _brute_closest(v0, v1, v2, o, d)
+    tb_tree, _ = _tree_closest(res, v0, v1, v2, o, d)
+    hit = np.isfinite(tb_brute)
+    assert (np.isfinite(tb_tree) == hit).all()
+    np.testing.assert_allclose(tb_tree[hit], tb_brute[hit], rtol=1e-4)
+
+
+def test_sbvh_spatial_min_count():
+    """spatial_min_count restricts spatial tries to top-level nodes:
+    a huge threshold reproduces the no-duplication tree exactly; a
+    moderate one duplicates no more than the unrestricted build and
+    still matches brute closest hits."""
+    v0, v1, v2 = _soup(600, seed=3)
+    unrestricted = build_sbvh(v0, v1, v2, 16)
+    plain = build_sbvh(v0, v1, v2, 16, alpha=1.0)   # no spatial at all
+    top_only = build_sbvh(v0, v1, v2, 16, spatial_min_count=150)
+    off = build_sbvh(v0, v1, v2, 16, spatial_min_count=601)
+    for a, b in zip(plain, off):
+        np.testing.assert_array_equal(a, b)
+    assert len(plain[0]) <= len(top_only[0]) <= len(unrestricted[0])
+    rng = np.random.default_rng(17)
+    o = rng.uniform(-2, 12, (48, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (48, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tb_brute, _ = _brute_closest(v0, v1, v2, o, d)
+    tb_tree, _ = _tree_closest(top_only, v0, v1, v2, o, d)
+    hit = np.isfinite(tb_brute)
+    assert (np.isfinite(tb_tree) == hit).all()
+    np.testing.assert_allclose(tb_tree[hit], tb_brute[hit], rtol=1e-4)
