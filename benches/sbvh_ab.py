@@ -36,7 +36,8 @@ def make_scene(name):
         from pt.scene.examples import make_heightfield_scene
         return make_heightfield_scene(224), (-9, 9, 0, 3)
     from pt.scene.standin import make_courtyard_scene
-    return make_courtyard_scene(), (-18, 18, 0.2, 8)
+    # tex_scale: traversal never reads textures; skip 4k authoring
+    return make_courtyard_scene(tex_scale=1 / 16), (-18, 18, 0.2, 8)
 
 
 def build(ds, wpos, spatial, alpha=1e-5, presplit=0.0, min_count=0):

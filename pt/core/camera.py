@@ -162,6 +162,15 @@ class InputCamera(Camera):
             changed |= self.move(forward, right, up, dt)
         if Input.is_mouse_button_pressed(1):        # RMB = mouse-look
             dx, dy = Input.consume_mouse_delta()
+            # clamp one frame's consumed look delta: remote viewers batch
+            # events on the client clock, so a latency spike can deliver
+            # hundreds of pixels of motion in one flush — the reference
+            # never sees this because GLFW polls the cursor per frame
+            # (InputCamera::OnUpdate, Core/Camera.cpp:82-137); ±250 px
+            # ≈ a fast full-screen swipe at 30 fps
+            clamp = 250.0
+            dx = float(np.clip(dx, -clamp, clamp))
+            dy = float(np.clip(dy, -clamp, clamp))
             changed |= self.rotate(dx, dy)
         else:
             Input.consume_mouse_delta()             # drop stale deltas

@@ -79,6 +79,26 @@ def test_input_camera_pitch_clamp():
     assert np.isfinite(cam.direction).all()
 
 
+def test_input_camera_frame_delta_clamp():
+    """A latency spike that batches hundreds of pixels of mouse motion
+    into one flush must not slam the camera: on_update clamps the
+    per-frame consumed delta to +-250 px (the reference polls the cursor
+    per frame via GLFW so it never sees unbounded deltas)."""
+    from pt.core.input import Input
+
+    cam = InputCamera(45, 0.1, 100, (0, 0, 0), (0, 0, 1))
+    ref = InputCamera(45, 0.1, 100, (0, 0, 0), (0, 0, 1))
+    Input.set_mouse_button(1, True)
+    try:
+        Input.add_mouse_delta(5000.0, 0.0)
+        cam.on_update(1 / 60)
+        ref.rotate(250.0, 0.0)
+        np.testing.assert_allclose(cam._yaw, ref._yaw)
+    finally:
+        Input.set_mouse_button(1, False)
+        Input.consume_mouse_delta()
+
+
 def test_concentric_disk_in_unit_circle():
     rng = np.random.default_rng(3)
     u1 = jnp.asarray(rng.random(4096, dtype=np.float32))
