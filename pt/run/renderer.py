@@ -686,7 +686,13 @@ class Renderer:
                 while done < samples:
                     g = min(cap, samples - done)
                     g = 1 << (g.bit_length() - 1)       # pow2 floor
-                    self._render_group(g, done, inv_view, inv_proj, jset)
+                    # only the FIRST group of a render() may observe/age
+                    # the compaction plan — otherwise a multi-group (or
+                    # g==1 multi-sample) step ages the plan once per
+                    # dispatch and re-observes (a full uncompacted
+                    # dispatch + ~30 ms sync) 16/samples× too often
+                    self._render_group(g, done, inv_view, inv_proj, jset,
+                                       observe_ok=(done == 0))
                     done += g
         self.total_samples += samples
         Stats.add_stat("Total Samples", self.total_samples)
@@ -709,7 +715,7 @@ class Renderer:
         return cached
 
     def _render_group(self, g: int, rep0: int, inv_view, inv_proj,
-                      jset) -> None:
+                      jset, observe_ok: bool = True) -> None:
         """Trace one g-sample spp-major group (reps rep0..rep0+g-1) and
         fold it into the film.
 
@@ -736,7 +742,8 @@ class Renderer:
         carry, _ = _bounce_jit(self.ds, self.tex, self.accel, carry,
                                jset, False, self._rr_div(0))
         if g == 1:
-            full = self._trace_tail(carry, jset, n_full)
+            full = self._trace_tail(carry, jset, n_full,
+                                    observe_ok=observe_ok)
             self.accum, rt = _accumulate_jit(full, self.accum,
                                              jnp.zeros((), jnp.int32),
                                              self._film_perm)
@@ -746,7 +753,8 @@ class Renderer:
         stacked = _split_all_jit(carry, g)       # rays zeroed in the subs
         for r in range(g):
             sub = _take_rep_jit(stacked, r)
-            full = self._trace_tail(sub, jset, n_full, observe_ok=(r == 0))
+            full = self._trace_tail(sub, jset, n_full,
+                                    observe_ok=(observe_ok and r == 0))
             self.accum, rt = _accumulate_jit(full, self.accum,
                                              jnp.zeros((), jnp.int32),
                                              self._film_perm)
@@ -763,10 +771,18 @@ class Renderer:
         by RNG noise between renders; film/settings changes reset the
         plans entirely). During re-observation the (stale) plan is NOT
         applied — compaction by an undersized class would truncate live
-        paths AND clamp the very counts meant to correct it."""
-        plan = self._plans.get(n_lanes)
+        paths AND clamp the very counts meant to correct it.
+
+        Plan keys carry the indexing convention: "tail" plans are
+        length-(B-1), plan[j] = class for bounce j+1 (bounce 0 is traced
+        before this method); "full" plans (adaptive/sharded writers) are
+        bounce-0-based. Without the tag a "full" plan for the same lane
+        count would be applied one bounce too deep here, compacting by an
+        undersized class and truncating live paths."""
+        key = ("tail", n_lanes)
+        plan = self._plans.get(key)
         observe = observe_ok and (plan is None
-                                  or self._plan_ages.get(n_lanes, 0) >= 16)
+                                  or self._plan_ages.get(key, 0) >= 16)
         full = carry
         perm = None
         cur_n = n_lanes
@@ -793,16 +809,15 @@ class Renderer:
             full = carry
         if alive_obs:
             counts = np.asarray(jnp.stack(alive_obs))   # one batched sync
-            self._plans[n_lanes] = [
+            self._plans[key] = [
                 _size_class(int(1.35 * c)) if c > 0 else 1024
                 for c in counts]
-            self._plan_ages[n_lanes] = 0
+            self._plan_ages[key] = 0
         elif observe_ok:
-            # age once per render step (the observing rep), not once per
-            # rep — otherwise a g-sample group ages g× too fast and
-            # re-observes (a full uncompacted sample + a ~30 ms sync)
-            # every 16/g steps instead of every 16
-            self._plan_ages[n_lanes] = self._plan_ages.get(n_lanes, 0) + 1
+            # age once per render step (the observing rep of the first
+            # group), not once per rep/group — render() forwards
+            # observe_ok=True only for its first dispatch
+            self._plan_ages[key] = self._plan_ages.get(key, 0) + 1
         return full
 
     def _rr_div(self, bounce: int) -> float:
@@ -987,7 +1002,7 @@ class Renderer:
                     full = carry
                     perm = None
                     cur_n = disp_n
-                    plan = self._plans.get(disp_n)
+                    plan = self._plans.get(("full", disp_n))
                     # re-observe on every round's first dispatch: adaptive
                     # rounds concentrate the noisiest pixels, whose paths
                     # live longer — a stale plan would truncate them
@@ -1037,8 +1052,8 @@ class Renderer:
                                             new_plan[j] = max(new_plan[j],
                                                               plan[j])
                                     break
-                        self._plans[disp_n] = new_plan
-                        self._plan_ages[disp_n] = 0
+                        self._plans[("full", disp_n)] = new_plan
+                        self._plan_ages[("full", disp_n)] = 0
                     steps += 1
                 self._spp_map += alloc
         self.total_samples = int(self._spp_map.max())
@@ -1146,7 +1161,7 @@ class Renderer:
                     full = carry
                     perm = None
                     cur_n = n_local
-                    plan = self._plans.get(n_local)
+                    plan = self._plans.get(("full", n_local))
                     alive_obs = [] if (plan is None or d == 0) else None
                     rt = jnp.zeros((), jnp.int32)
                     for bounce in range(self.settings.bounce_count):
@@ -1192,8 +1207,8 @@ class Renderer:
                                             new_plan[j] = max(new_plan[j],
                                                               plan[j])
                                     break
-                        self._plans[n_local] = new_plan
-                        self._plan_ages[n_local] = 0
+                        self._plans[("full", n_local)] = new_plan
+                        self._plan_ages[("full", n_local)] = 0
                     steps += 1
                 self._spp_map += alloc
         self.accum = accum_flat.reshape(self.accum.shape)
@@ -1221,8 +1236,8 @@ class Renderer:
         n_dev = self.mesh.devices.size
         n_local = (self.width * self.height) // n_dev
         accum_flat = self.accum.reshape(-1, 3)
-        plan = self._plans.get(n_local)
-        observe = plan is None or self._plan_ages.get(n_local, 0) >= 16
+        plan = self._plans.get(("full", n_local))
+        observe = plan is None or self._plan_ages.get(("full", n_local), 0) >= 16
         alive_obs = []
         for s in range(samples):
             frame = jnp.uint32(self.total_samples + s)
@@ -1262,12 +1277,12 @@ class Renderer:
             self._rays_chunks.append(rt)
         if alive_obs:
             counts = np.asarray(jnp.stack(alive_obs))   # one batched sync
-            self._plans[n_local] = [
+            self._plans[("full", n_local)] = [
                 _size_class(int(1.35 * c)) if c > 0 else 1024
                 for c in counts]
-            self._plan_ages[n_local] = 0
+            self._plan_ages[("full", n_local)] = 0
         else:
-            self._plan_ages[n_local] = self._plan_ages.get(n_local, 0) + 1
+            self._plan_ages[("full", n_local)] = self._plan_ages.get(("full", n_local), 0) + 1
         self.accum = accum_flat.reshape(self.accum.shape)
 
     def film_mean(self) -> np.ndarray:

@@ -194,7 +194,14 @@ class ViewerServer:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 8000,
                  on_key_release=None, scenes=None, on_scene_select=None,
-                 on_settings=None, on_render=None):
+                 on_settings=None, on_render=None, render_dir=None):
+        import os
+        import pathlib
+        # offline renders may only land inside this directory (default:
+        # cwd). POST /render is reachable by any web page via a
+        # no-preflight cross-origin POST, so an unconstrained path would
+        # let a visited page overwrite arbitrary writable files.
+        self._render_dir = pathlib.Path(render_dir or os.getcwd()).resolve()
         self._frame_lock = threading.Condition()
         self._jpeg: bytes = _encode_jpeg(np.zeros((8, 8, 3), np.float32))
         self._seq = 0
@@ -263,7 +270,27 @@ class ViewerServer:
                 else:
                     self.send_error(404)
 
+            def _origin_ok(self) -> bool:
+                """Reject cross-site POSTs: browsers attach an Origin
+                header to cross-origin (and fetch-issued) POSTs; accept
+                only origins whose host part matches the Host header /
+                loopback names. Header-free clients (curl, tests) pass."""
+                origin = self.headers.get("Origin")
+                if not origin:
+                    return True
+                try:
+                    from urllib.parse import urlsplit
+                    ohost = urlsplit(origin).hostname or ""
+                except ValueError:
+                    return False
+                allowed = {"localhost", "127.0.0.1", "::1",
+                           (self.headers.get("Host") or "").rsplit(":", 1)[0]}
+                return ohost in allowed
+
             def do_POST(self):
+                if not self._origin_ok():
+                    self.send_error(403, "cross-origin POST rejected")
+                    return
                 if self.path == "/scene":
                     length = int(self.headers.get("Content-Length", 0))
                     try:
@@ -317,6 +344,12 @@ class ViewerServer:
                                 server._on_render is None or \
                                 not str(data.get("path", "")):
                             raise ValueError("need a render sink + path")
+                        import pathlib
+                        out = (server._render_dir /
+                               str(data["path"])).resolve()
+                        if not out.is_relative_to(server._render_dir):
+                            raise ValueError("path escapes render dir")
+                        data = dict(data, path=str(out))
                         server._on_render(data)
                     except ValueError as exc:
                         log.warning("bad render request: %s", exc)
@@ -470,7 +503,7 @@ def apply_settings(app, data: dict) -> None:
 
 def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
                duration_seconds: float = 1e30, show_hud: bool = True,
-               adaptive_tol=None) -> int:
+               adaptive_tol=None, render_dir=None) -> int:
     """Drive Application.run with frames streaming to the browser and
     browser input driving the fly camera. Blocks until interrupted."""
 
@@ -500,7 +533,8 @@ def run_viewer(app, host: str = "127.0.0.1", port: int = 8000,
     server = ViewerServer(host, port, on_key_release, scenes=scene_names,
                           on_scene_select=pending_scene.append,
                           on_settings=pending_settings.append,
-                          on_render=pending_render.append)
+                          on_render=pending_render.append,
+                          render_dir=render_dir)
     server.start()
     print(f"viewer at http://{server.host}:{server.port}/  (Ctrl-C stops)",
           flush=True)

@@ -163,7 +163,7 @@ def test_compaction_bit_identical(default_setup):
     r.render(2)                        # second call compacts by plan
     # incoherent-tail dispatches run per-sample at film width (the
     # hybrid splits the spp-group after the coherent bounce 0)
-    plan = r._plans.get(48 * 48)
+    plan = r._plans.get(("tail", 48 * 48))
     assert plan is not None
     assert min(plan) <= 1152, "plan should trigger compaction"
     with_compact = np.asarray(r.accum)

@@ -379,7 +379,8 @@ class TestDebugAndCameraControls:
     def test_render_endpoint(self):
         from pt.run.viewer import ViewerServer
         got = []
-        server = ViewerServer(port=0, on_render=got.append)
+        server = ViewerServer(port=0, on_render=got.append,
+                              render_dir="/tmp")
         server.start()
         base = f"http://{server.host}:{server.port}"
         try:
@@ -395,6 +396,26 @@ class TestDebugAndCameraControls:
                 method="POST")
             assert urllib.request.urlopen(req, timeout=5).status == 204
             assert got == [{"path": "/tmp/out.png", "max_samples": 4}]
+            # a path escaping the render dir is rejected (400), and the
+            # sink never sees it
+            req = urllib.request.Request(
+                f"{base}/render",
+                data=json.dumps({"path": "../etc/evil.png"}).encode(),
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=5)
+            assert exc.value.code == 400
+            # a cross-site Origin is rejected (403) on every mutating
+            # endpoint before the body is interpreted
+            req = urllib.request.Request(
+                f"{base}/render",
+                data=json.dumps({"path": "/tmp/out.png"}).encode(),
+                headers={"Origin": "http://evil.example"},
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=5)
+            assert exc.value.code == 403
+            assert len(got) == 1
         finally:
             server.stop()
 
@@ -430,7 +451,8 @@ class TestDebugAndCameraControls:
 
         V.ViewerServer = Hooked
         try:
-            run_viewer(app, port=0, duration_seconds=4.0, show_hud=False)
+            run_viewer(app, port=0, duration_seconds=4.0, show_hud=False,
+                       render_dir=str(tmp_path))
         finally:
             V.ViewerServer = orig
         import pathlib
