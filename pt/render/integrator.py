@@ -48,10 +48,9 @@ import jax.numpy as jnp
 
 from pt.accel.intersect import intersect_brute
 from pt.accel.lbvh import ThreadedBVH, build_bvh
-from pt.accel.pallas_bvh import (BF8BVH, BF8V6, PacketBVH, build_packet_bvh,
+from pt.accel.pallas_bvh import (BF8BVH, PacketBVH, build_packet_bvh,
                                  packet_closest_bf8, packet_closest_v4,
-                                 packet_closest_v6, packet_occluded_bf8,
-                                 packet_occluded_v4, packet_occluded_v6)
+                                 packet_occluded_bf8, packet_occluded_v4)
 from pt.accel.traverse import bvh_closest, bvh_occluded
 from pt.render import rng as prng
 from pt.render.bsdf import evaluate_bsdf, sample_bsdf
@@ -111,6 +110,13 @@ class PathTracingSettings:
     # LOSS, hence the start-bounce gate (docs/perf_budget.md §11).
     rr_scale: float = 1.0
     rr_start_bounce: int = 0
+    # Nearest-mip material sampling on incoherent TAIL bounces (bounce
+    # >= 1): rounds the LOD to one mip and skips the second bilinear —
+    # half the texture gathers on the bounces where the <=half-level LOD
+    # blend error is film-invisible (MSE-gated A/B: docs/perf_budget.md
+    # §14). Primary-bounce samples keep full trilinear; set False for
+    # reference-exact textureGrad filtering everywhere.
+    tex_nearest_tail: bool = False
 
 
 class AlphaSplit(NamedTuple):
@@ -282,11 +288,14 @@ def _root_bounds(bvh):
     XLA/brute backends). Wide structures mask their 1e30 empty slots."""
     if isinstance(bvh, PacketBVH):
         return bvh.top_lo[0], bvh.top_hi[0]
-    if isinstance(bvh, (BF8BVH, BF8V6)):
+    if isinstance(bvh, BF8BVH):
         if bvh.root_lo is not None:       # recorded at build time
             return bvh.root_lo, bvh.root_hi
-        lo, hi = ((bvh.c_lo, bvh.c_hi) if isinstance(bvh, BF8BVH)
-                  else (bvh.u_lo, bvh.u_hi))
+        lo, hi = bvh.c_lo, bvh.c_hi
+    elif hasattr(bvh, "root_bounds"):
+        # archived structures (pt.accel.pallas_bvh_archive, e.g. BF8V6)
+        # carry their own protocol methods
+        return bvh.root_bounds()
     else:
         return None
     valid = lo[:, 0] < 1e29
@@ -581,11 +590,6 @@ def trace_closest(bvh, world_pos, tri_idx, origins, dirs, tmax=TMAX):
     statically selects the compiled variant). bvh None → brute."""
     if bvh is None:
         return intersect_brute(world_pos, tri_idx, origins, dirs, TMIN, tmax)
-    if isinstance(bvh, BF8V6):
-        # unified-table variant with static octant child ordering —
-        # within ~5% of BF8 (docs/perf_budget.md §3); selectable via
-        # accel construction for A/B work
-        return packet_closest_v6(bvh, origins, dirs, tmax, TMIN)
     if isinstance(bvh, BF8BVH):
         # wide (BF8) variant of v4, used for static scenes where the
         # host-side collapse is available: 49/102 ms on 65k
@@ -597,6 +601,10 @@ def trace_closest(bvh, world_pos, tri_idx, origins, dirs, tmax=TMAX):
         # branches, prefetched leaf DMAs — 51 ms on 65k sorted incoherent
         # rays vs 72 (v3) / 83 (v2) / 105 (v1)
         return packet_closest_v4(bvh, origins, dirs, tmax, TMIN)
+    if hasattr(bvh, "closest"):
+        # archived generations (pt.accel.pallas_bvh_archive, e.g. BF8V6)
+        # carry their own dispatch methods — selectable for A/B work
+        return bvh.closest(origins, dirs, tmax, TMIN)
     return bvh_closest(bvh, world_pos, tri_idx, origins, dirs, TMIN, tmax)
 
 
@@ -605,14 +613,14 @@ def trace_occluded(bvh, world_pos, tri_idx, origins, dirs, dist):
     if bvh is None:
         hit = intersect_brute(world_pos, tri_idx, origins, dirs, TMIN, dist)
         return hit.is_hit
-    if isinstance(bvh, BF8V6):
-        return packet_occluded_v6(bvh, origins, dirs, dist, TMIN)
     if isinstance(bvh, BF8BVH):
         return packet_occluded_bf8(bvh, origins, dirs, dist, TMIN)
     if isinstance(bvh, PacketBVH):
         # phase-split occlusion kernel (v4): 57 ms vs 93 ms (monolithic)
         # on 65k shadow rays
         return packet_occluded_v4(bvh, origins, dirs, dist, TMIN)
+    if hasattr(bvh, "occluded"):
+        return bvh.occluded(origins, dirs, dist, TMIN)
     return bvh_occluded(bvh, world_pos, tri_idx, origins, dirs, dist, TMIN)
 
 
@@ -652,7 +660,7 @@ def start_carry(state, origin, direction, diff: DiffRays) -> BounceCarry:
 
 def _shade_hit(ds: DeviceScene, tex: DeviceTextures, accel: Accel, hit,
                ray_o, ray_d, state, alive, max_roughness, decal=None,
-               diff: Optional[DiffRays] = None):
+               diff: Optional[DiffRays] = None, nearest_mip: bool = False):
     """Vectorized closest-hit 'shader' (≙ closestHit.rchit:52-161).
 
     Returns a dict payload with next-ray data, NEE data, emissive, bsdf/pdf,
@@ -703,7 +711,7 @@ def _shade_hit(ds: DeviceScene, tex: DeviceTextures, accel: Accel, hit,
         dndu = dndv = None
 
     mat = sample_material(ds, tex, ds.tri_mat[tri], uv, is_inside,
-                          duv_x, duv_y)
+                          duv_x, duv_y, nearest_mip=nearest_mip)
 
     if decal is not None:
         # decal tint from skipped alpha surfaces (≙ closestHit.rchit:104-106:
@@ -823,13 +831,18 @@ def _coherence_keys(bvh: "PacketBVH", origin, direction, alive):
 def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
                 carry: BounceCarry,
                 settings: PathTracingSettings,
-                sort_rays: bool = True, rr_div=None) -> BounceCarry:
+                sort_rays: bool = True, rr_div=None,
+                tail: bool = False) -> BounceCarry:
     """One wavefront bounce: closest trace → shade → NEE → RR
     (≙ one iteration of raygen.rgen:62-97). `sort_rays` statically disables
     the coherence sort (used for the already-coherent primary bounce).
     `rr_div` optionally overrides the RR truncation divisor as a TRACED
     scalar (the host passes rr_scale for bounces >= rr_start_bounce and
-    1.0 before — one compiled variant serves every bounce)."""
+    1.0 before — one compiled variant serves every bounce).
+    `tail` (static) marks an incoherent tail bounce (bounce >= 1 on the
+    host-staged paths); with settings.tex_nearest_tail it selects
+    nearest-mip material sampling there. The fori_loop oracle path never
+    sets it, staying reference-exact trilinear at every bounce."""
     (state, origin, direction, throughput, radiance, alive,
      max_roughness, rays, diff) = carry
     rays = rays + jnp.sum(alive.astype(jnp.int32))
@@ -883,7 +896,8 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     radiance = radiance + jnp.where(missed[..., None], throughput * sky, 0.0)
 
     payload = _shade_hit(ds, tex, accel, hit, origin, direction,
-                         state, alive, max_roughness, decal, diff)
+                         state, alive, max_roughness, decal, diff,
+                         nearest_mip=(tail and settings.tex_nearest_tail))
     state = payload["state"]
     max_roughness = payload["max_roughness"]
     active = alive & hit.is_hit

@@ -35,11 +35,14 @@ def sample_material(ds: DeviceScene, textures: DeviceTextures,
                     mat_row: jax.Array, uv: jax.Array,
                     is_inside: jax.Array,
                     dudx_dvdx: Optional[jax.Array] = None,
-                    dudy_dvdy: Optional[jax.Array] = None) -> MaterialSample:
+                    dudy_dvdy: Optional[jax.Array] = None,
+                    nearest_mip: bool = False) -> MaterialSample:
     """Resolve a MaterialSample for each hit lane.
 
     mat_row: (N,) unified material rows; uv: (N, 2); is_inside: (N,) bool.
     Derivative pairs feed textureGrad-equivalent LOD selection.
+    nearest_mip (static) selects rounded-level sampling — half the
+    gathers; see sample_texture_grad.
     """
     p = ds.mat_params[mat_row]          # (N, NUM_MAT_FIELDS)
     t = ds.mat_tex[mat_row]             # (N, NUM_MAT_TEX)
@@ -47,7 +50,8 @@ def sample_material(ds: DeviceScene, textures: DeviceTextures,
 
     def tex(slot):
         return sample_texture_grad(textures, t[..., slot], uv,
-                                   dudx_dvdx, dudy_dvdy)
+                                   dudx_dvdx, dudy_dvdy,
+                                   nearest_mip=nearest_mip)
 
     emissive = ((tex(T_EMISSIVE)[..., :3] + p[..., F_EMISSIVE:F_EMISSIVE + 3])
                 * p[..., F_EMISSIVE_INT:F_EMISSIVE_INT + 1])

@@ -33,7 +33,7 @@ MAX_MIPS = 14   # up to 8192x8192
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceTextures:
-    data: jax.Array        # (P, 4) f32 linear texels
+    data: jax.Array        # (P, 4) linear texels (f32 or bf16, see below)
     offsets: jax.Array     # (NT, MAX_MIPS) i32 texel offset of each mip
     sizes: jax.Array       # (NT, MAX_MIPS, 2) i32 (w, h) per mip
     mip_counts: jax.Array  # (NT,) i32
@@ -42,6 +42,13 @@ class DeviceTextures:
     # TPU gathers are the shading bottleneck
     all_constant: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
+    # static: rows stored with stride w+1 per mip scanline — column w
+    # duplicates column 0 (the repeat-wrap neighbor), so the (x0, x0+1)
+    # bilinear corner pair is always contiguous and fetches as ONE (2, 4)
+    # dynamic-slice gather instead of two row gathers (perf_budget §13
+    # lever 2; costs +1/W pool growth)
+    paired: bool = dataclasses.field(metadata=dict(static=True),
+                                     default=False)
 
     @property
     def count(self) -> int:
@@ -74,15 +81,32 @@ def build_mip_chain(pixels: np.ndarray) -> List[np.ndarray]:
     return mips[:MAX_MIPS]
 
 
+# Production pool-format defaults, measured in benches/tex_ab.py /
+# benches/texstage.py (docs/perf_budget.md §13 levers 2+3). Both default
+# OFF until the on-chip A/B + MSE gate land; TexturePoolBuilder callers
+# can override per pool.
+POOL_PAIRED_DEFAULT = False
+POOL_DTYPE_DEFAULT: object = None      # None → float32 rows
+
+
 class TexturePoolBuilder:
     """Accumulates decoded textures into the flat pool."""
 
-    def __init__(self):
+    def __init__(self, paired: Optional[bool] = None):
         self._texels: List[np.ndarray] = []
         self._offsets: List[np.ndarray] = []
         self._sizes: List[np.ndarray] = []
         self._mip_counts: List[int] = []
         self._cursor = 0
+        self.paired = POOL_PAIRED_DEFAULT if paired is None else paired
+
+    def _push_level(self, m: np.ndarray) -> None:
+        """Append one mip level's texels at the current cursor."""
+        if self.paired:
+            # duplicate the wrap column: col w == col 0, stride w+1
+            m = np.concatenate([m, m[:, :1]], axis=1)
+        self._texels.append(m.reshape(-1, 4))
+        self._cursor += m.shape[0] * m.shape[1]
 
     def add(self, pixels: np.ndarray, srgb: bool = False,
             generate_mips: bool = True) -> int:
@@ -109,8 +133,7 @@ class TexturePoolBuilder:
         for i, m in enumerate(mips):
             offsets[i] = self._cursor
             sizes[i] = (m.shape[1], m.shape[0])
-            self._texels.append(m.reshape(-1, 4))
-            self._cursor += m.shape[0] * m.shape[1]
+            self._push_level(m)
         # clamp unused mip slots to the last mip (safe gather targets)
         for i in range(len(mips), MAX_MIPS):
             offsets[i] = offsets[len(mips) - 1]
@@ -142,8 +165,7 @@ class TexturePoolBuilder:
         for i, m in enumerate(chain):
             offsets[i] = self._cursor
             sizes[i] = (m.shape[1], m.shape[0])
-            self._texels.append(m.reshape(-1, 4))
-            self._cursor += m.shape[0] * m.shape[1]
+            self._push_level(m)
         for i in range(len(chain), MAX_MIPS):
             offsets[i] = offsets[len(chain) - 1]
             sizes[i] = sizes[len(chain) - 1]
@@ -152,14 +174,23 @@ class TexturePoolBuilder:
         self._mip_counts.append(len(chain))
         return len(self._mip_counts) - 1
 
-    def build(self) -> DeviceTextures:
+    def build(self, dtype=None) -> DeviceTextures:
+        """dtype None → POOL_DTYPE_DEFAULT → float32. bfloat16 rows
+        halve the pool footprint and bytes/gather (perf_budget §13
+        lever 3); texels upcast to f32 after the gather, so only the
+        stored values round (~2^-9 rel for 8-bit-sourced texels)."""
         sizes = np.stack(self._sizes)
+        dtype = dtype if dtype is not None else POOL_DTYPE_DEFAULT
+        data = jnp.asarray(np.concatenate(self._texels, axis=0))
+        if dtype is not None:
+            data = data.astype(dtype)
         return DeviceTextures(
-            data=jnp.asarray(np.concatenate(self._texels, axis=0)),
+            data=data,
             offsets=jnp.asarray(np.stack(self._offsets)),
             sizes=jnp.asarray(sizes),
             mip_counts=jnp.asarray(np.asarray(self._mip_counts, np.int32)),
             all_constant=bool((sizes[:, 0] == 1).all()),
+            paired=self.paired,
         )
 
 
@@ -203,30 +234,53 @@ def _bilinear_at_level(tex: DeviceTextures, tex_idx, uv, level):
     wi = size[..., 0]
     hi = size[..., 1]
 
-    def fetch(xi, yi):
-        xi = jnp.mod(xi.astype(jnp.int32), wi)
-        yi = jnp.mod(yi.astype(jnp.int32), hi)
-        return tex.data[off + yi * wi + xi]
+    if tex.paired:
+        # stride w+1, col w == col 0: the (x0, x0+1) pair is contiguous
+        # and one (2, 4) dynamic-slice gather fetches both corners
+        x0i = jnp.mod(x0.astype(jnp.int32), wi)
 
-    c00 = fetch(x0, y0)
-    c10 = fetch(x0 + 1, y0)
-    c01 = fetch(x0, y0 + 1)
-    c11 = fetch(x0 + 1, y0 + 1)
+        def fetch_pair(yi):
+            yi = jnp.mod(yi.astype(jnp.int32), hi)
+            start = off + yi * (wi + 1) + x0i
+            rows = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(tex.data, (s, 0), (2, 4))
+            )(start)
+            return (rows[:, 0].astype(jnp.float32),
+                    rows[:, 1].astype(jnp.float32))
+
+        c00, c10 = fetch_pair(y0)
+        c01, c11 = fetch_pair(y0 + 1)
+    else:
+        def fetch(xi, yi):
+            xi = jnp.mod(xi.astype(jnp.int32), wi)
+            yi = jnp.mod(yi.astype(jnp.int32), hi)
+            return tex.data[off + yi * wi + xi].astype(jnp.float32)
+
+        c00 = fetch(x0, y0)
+        c10 = fetch(x0 + 1, y0)
+        c01 = fetch(x0, y0 + 1)
+        c11 = fetch(x0 + 1, y0 + 1)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
 
 
 def sample_texture_grad(tex: DeviceTextures, tex_idx, uv, dudx_dvdx=None,
-                        dudy_dvdy=None):
+                        dudy_dvdy=None, nearest_mip: bool = False):
     """Trilinear sample with LOD from UV derivatives (≙ textureGrad).
 
     tex_idx (N,) i32, uv (N,2). Derivatives (N,2) each or None for level 0.
     Returns (N,4) linear texels.
+
+    nearest_mip (static): skip the second mip's bilinear fetch and sample
+    the ROUNDED level only — 4 row gathers instead of 8 (perf_budget §13
+    lever 1). Used on incoherent tail bounces, where the ≤half-level LOD
+    error is film-invisible (MSE-gated, benches/tex_ab.py); primary-bounce
+    samples keep full trilinear for the pixel-parity contract.
     """
     if tex.all_constant:
         # 1x1 constants: one gather, no filtering
-        return tex.data[tex.offsets[tex_idx, 0]]
+        return tex.data[tex.offsets[tex_idx, 0]].astype(jnp.float32)
     mip_count = tex.mip_counts[tex_idx]
     if dudx_dvdx is None:
         # explicit level-0 sampling: single bilinear fetch
@@ -238,6 +292,9 @@ def sample_texture_grad(tex: DeviceTextures, tex_idx, uv, dudx_dvdx=None,
     rho = jnp.sqrt(jnp.maximum(jnp.sum(px * px, -1), jnp.sum(py * py, -1)))
     level = jnp.log2(jnp.maximum(rho, 1e-12))
     level = jnp.clip(level, 0.0, (mip_count - 1).astype(jnp.float32))
+    if nearest_mip:
+        near = jnp.round(level).astype(jnp.int32)
+        return _bilinear_at_level(tex, tex_idx, uv, near)
     lo = jnp.floor(level).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, mip_count - 1)
     frac = (level - lo.astype(jnp.float32))[..., None]

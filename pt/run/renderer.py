@@ -67,11 +67,14 @@ def _raygen_jit(px, py, width, height, inv_view, inv_proj, state, settings):
     return start_carry(state, o, d, diff)
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "sort_rays"))
-def _bounce_jit(ds, tex, accel, carry, settings, sort_rays=True,
+@functools.partial(jax.jit, static_argnames=("settings", "tail"))
+def _bounce_jit(ds, tex, accel, carry, settings, tail=True,
                 rr_div=1.0):
-    carry = bounce_once(ds, tex, accel, carry, settings, sort_rays,
-                        rr_div=rr_div)
+    # every caller passes tail == (bounce > 0): it both enables the
+    # coherence sort (tails only) and marks the bounce for the
+    # nearest-mip texture path (settings.tex_nearest_tail)
+    carry = bounce_once(ds, tex, accel, carry, settings, sort_rays=tail,
+                        rr_div=rr_div, tail=tail)
     return carry, jnp.sum(carry.alive.astype(jnp.int32))
 
 
@@ -258,7 +261,8 @@ class _ShardedStages:
                                out_specs=(cspec, P(), P()), check_vma=False)
             def bounce_stage(ds, tex, accel, carry, rr_div):
                 out = bounce_once(ds, tex, accel, carry, settings,
-                                  sort_rays, rr_div=rr_div)
+                                  sort_rays, rr_div=rr_div,
+                                  tail=sort_rays)
                 # carry.rays stays zero in sharded mode; report this
                 # bounce's global ray count separately (one psum per
                 # bounce). The per-shard MAX live count sizes the next

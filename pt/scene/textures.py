@@ -241,10 +241,12 @@ def _budget_max_dim(infos: List[TextureInfo], cfg: Config) -> int:
 
 def build_texture_pool(infos: List[TextureInfo],
                        cfg: Optional[Config] = None,
-                       progress=None) -> DeviceTextures:
+                       progress=None, paired: Optional[bool] = None,
+                       dtype=None) -> DeviceTextures:
     """Decode all scene textures in parallel and build the device pool.
     Slot order: defaults 0..8, then `infos` in order (matching the
-    SCENE_TEXTURE_OFFSET indexing contract)."""
+    SCENE_TEXTURE_OFFSET indexing contract). `paired`/`dtype` override
+    the pool-format defaults (pt.render.textures.POOL_*_DEFAULT)."""
     cfg = cfg or get_config()
     infos = [get_texture_info(i) for i in infos]
     max_dim = _budget_max_dim(infos, cfg)
@@ -272,7 +274,7 @@ def build_texture_pool(infos: List[TextureInfo],
         ThreadDispatch(cfg.loader_thread_count).dispatch_blocking(len(infos),
                                                                   work)
 
-    builder = TexturePoolBuilder()
+    builder = TexturePoolBuilder(paired=paired)
     add_default_textures(builder)
     for info, item in zip(infos, decoded):
         if item is None:
@@ -284,9 +286,11 @@ def build_texture_pool(infos: List[TextureInfo],
             builder.add_mips(item[1], srgb=info.is_srgb)
         else:
             builder.add(item[1], srgb=info.is_srgb, generate_mips=True)
-    return builder.build()
+    return builder.build(dtype=dtype)
 
 
 def build_scene_textures(scene, cfg: Optional[Config] = None,
-                         progress=None) -> DeviceTextures:
-    return build_texture_pool(scene.textures, cfg, progress)
+                         progress=None, paired: Optional[bool] = None,
+                         dtype=None) -> DeviceTextures:
+    return build_texture_pool(scene.textures, cfg, progress,
+                              paired=paired, dtype=dtype)

@@ -132,3 +132,84 @@ def test_repeat_wrap():
     uv = jnp.asarray([[0.25, 0.5], [1.25, 0.5]])   # u and u+1 must match
     out = np.asarray(sample_texture_grad(pool, idx, uv))
     np.testing.assert_allclose(out[0], out[1], atol=1e-6)
+
+
+def _rand_pool(paired=False, dtype=None, seed=0):
+    rng = np.random.default_rng(seed)
+    b = TexturePoolBuilder(paired=paired)
+    add_default_textures(b)
+    # non-square + non-pow2 shapes exercise the stride/wrap math
+    for shape in [(8, 8), (4, 16), (5, 3), (1, 7)]:
+        b.add(rng.random((*shape, 4)).astype(np.float32),
+              generate_mips=True)
+    return b.build(dtype=dtype)
+
+
+def test_paired_pool_bit_exact():
+    """The paired (stride w+1, duplicated wrap column) layout must return
+    bit-identical samples to the baseline layout: same texels, same
+    filter weights, only the fetch shape differs."""
+    base = _rand_pool(paired=False)
+    pair = _rand_pool(paired=True)
+    rng = np.random.default_rng(1)
+    n = 256
+    idx = jnp.asarray(rng.integers(SCENE_TEXTURE_OFFSET,
+                                   SCENE_TEXTURE_OFFSET + 4, n), jnp.int32)
+    uv = jnp.asarray(rng.random((n, 2)) * 3.0 - 1.0, jnp.float32)
+    dx = jnp.asarray(rng.random((n, 2)) * 0.3, jnp.float32)
+    dy = jnp.asarray(rng.random((n, 2)) * 0.3, jnp.float32)
+    for args in [(idx, uv), (idx, uv, dx, dy)]:
+        a = np.asarray(sample_texture_grad(base, *args))
+        b = np.asarray(sample_texture_grad(pair, *args))
+        np.testing.assert_array_equal(a, b)
+    # nearest-mip path too
+    a = np.asarray(sample_texture_grad(base, idx, uv, dx, dy,
+                                       nearest_mip=True))
+    b = np.asarray(sample_texture_grad(pair, idx, uv, dx, dy,
+                                       nearest_mip=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_pool_close_and_half_size():
+    base = _rand_pool(dtype=None)
+    bf = _rand_pool(dtype=jnp.bfloat16)
+    assert bf.data.dtype == jnp.bfloat16
+    assert bf.data.nbytes == base.data.nbytes // 2
+    rng = np.random.default_rng(2)
+    n = 256
+    idx = jnp.asarray(rng.integers(SCENE_TEXTURE_OFFSET,
+                                   SCENE_TEXTURE_OFFSET + 4, n), jnp.int32)
+    uv = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    a = np.asarray(sample_texture_grad(base, idx, uv))
+    b = np.asarray(sample_texture_grad(bf, idx, uv))
+    assert b.dtype == np.float32            # upcast after the gather
+    # bf16 has 8 mantissa bits: texels in [0,1] round within ~2^-9
+    np.testing.assert_allclose(a, b, atol=1.0 / 256)
+
+
+def test_nearest_mip_matches_trilinear_at_integer_lod():
+    """At an exactly-integer LOD the trilinear blend weight is 0, so
+    nearest-mip and trilinear agree bit-for-bit; in between, nearest
+    returns one of the two bracketing mips' bilinear values."""
+    px = np.indices((8, 8)).sum(0) % 2
+    px = np.repeat(px[..., None], 4, axis=-1).astype(np.float32)
+    b = TexturePoolBuilder()
+    add_default_textures(b)
+    b.add(px, generate_mips=True)
+    pool = b.build()
+    idx = jnp.full((1,), SCENE_TEXTURE_OFFSET, jnp.int32)
+    uv = jnp.asarray([[0.37, 0.61]])
+    # rho = 2/8 → level exactly 1.0
+    d = jnp.asarray([[0.25, 0.0]])
+    tri = np.asarray(sample_texture_grad(pool, idx, uv, d, d))
+    near = np.asarray(sample_texture_grad(pool, idx, uv, d, d,
+                                          nearest_mip=True))
+    np.testing.assert_array_equal(tri, near)
+    # fractional level: nearest must equal the rounded level's bilinear
+    d = jnp.asarray([[0.3, 0.0]])          # level = log2(2.4) ≈ 1.26 → 1
+    near = np.asarray(sample_texture_grad(pool, idx, uv, d, d,
+                                          nearest_mip=True))
+    np.testing.assert_array_equal(
+        near, np.asarray(sample_texture_grad(pool, idx, uv,
+                                             jnp.asarray([[0.25, 0.0]]),
+                                             jnp.asarray([[0.25, 0.0]]))))
