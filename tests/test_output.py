@@ -415,3 +415,98 @@ def test_offline_checkpoint_written_periodically(tmp_path):
         checkpoint_path=ckpt, checkpoint_interval_seconds=0.0), progress)
     assert os.path.exists(ckpt)          # kept after cancellation
     assert any(seen[1:])                 # written during the run
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg-PRESENT branch (VERDICT r3 task 7): a stub `ffmpeg` executable on
+# PATH exercises the spawn/pipe/flush and cancel-kills-and-deletes paths of
+# OutputSaver that a host without ffmpeg never runs
+# (≙ OutputSaver.cpp:64-111, 183-225).
+# ---------------------------------------------------------------------------
+
+def _install_stub_ffmpeg(tmp_path, monkeypatch, block=False):
+    """Create a fake `ffmpeg` on PATH. It records its argv, touches the
+    output target (like the real ffmpeg), consumes stdin to a capture
+    file, then on clean EOF writes the 'encoded' output + a sentinel.
+    With block=False the stub still blocks in `cat` until stdin EOF or
+    kill — exactly the real encoder's lifecycle."""
+    import stat
+
+    stubdir = tmp_path / "bin"
+    stubdir.mkdir()
+    argv_file = tmp_path / "argv.txt"
+    stdin_file = tmp_path / "stdin.bin"
+    sentinel = tmp_path / "done.txt"
+    script = stubdir / "ffmpeg"
+    script.write_text(
+        "#!/bin/sh\n"
+        f"printf '%s\\n' \"$@\" > '{argv_file}'\n"
+        "for a; do last=$a; done\n"
+        ": > \"$last\"\n"                       # partial file appears early
+        f"cat > '{stdin_file}'\n"               # blocks until EOF or kill
+        "printf 'encoded' > \"$last\"\n"
+        f"printf 'ok' > '{sentinel}'\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH",
+                       str(stubdir) + os.pathsep + os.environ.get("PATH", ""))
+    return argv_file, stdin_file, sentinel
+
+
+def test_video_with_ffmpeg_spawns_pipes_and_flushes(tmp_path, monkeypatch):
+    from pt.out import saver as S
+
+    argv_file, stdin_file, sentinel = _install_stub_ffmpeg(tmp_path,
+                                                           monkeypatch)
+    assert S.ffmpeg_available()              # the stub IS found via PATH
+    out = S.OutputSaver()
+    target = tmp_path / "clip.mp4"
+    out.register_output(OutputInfo(str(target), 8, 4, framerate=24.0,
+                                   format="mp4"))
+    frames = [np.full((4, 8, 3), k / 3.0, np.float32) for k in range(3)]
+    for fr in frames:
+        out.submit_frame(fr)
+    out.end_output()                         # joins writer, closes stdin,
+    assert sentinel.read_text() == "ok"      # waits → stub saw clean EOF
+
+    argv = argv_file.read_text().splitlines()
+    # the reference's exact encoder contract (OutputSaver.cpp:64-111)
+    assert argv[argv.index("-s") + 1] == "8x4"
+    assert argv[argv.index("-r") + 1] == "24.0"
+    assert argv[argv.index("-vcodec") + 1] == "libx264"
+    assert argv[argv.index("-preset") + 1] == "veryslow"
+    assert argv[argv.index("-crf") + 1] == "17"
+    assert argv[argv.index("-pix_fmt") + 1] == "rgba"   # input pix fmt
+    assert argv[-1] == str(target)
+
+    raw = stdin_file.read_bytes()            # 3 frames of 8*4 RGBA
+    assert len(raw) == 3 * 8 * 4 * 4
+    first = np.frombuffer(raw[: 8 * 4 * 4], np.uint8).reshape(4, 8, 4)
+    want = (np.clip(frames[0], 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(first[..., :3], want)
+    np.testing.assert_array_equal(first[..., 3], 255)   # opaque alpha
+    assert target.read_bytes() == b"encoded"
+    assert not out.active                    # sink fully closed
+
+
+def test_video_with_ffmpeg_cancel_kills_and_deletes(tmp_path, monkeypatch):
+    from pt.out import saver as S
+
+    _, stdin_file, sentinel = _install_stub_ffmpeg(tmp_path, monkeypatch)
+    out = S.OutputSaver()
+    target = tmp_path / "clip.mp4"
+    out.register_output(OutputInfo(str(target), 8, 4, format="mp4"))
+    out.submit_frame(np.zeros((4, 8, 3), np.float32))
+    # wait until the writer thread has actually piped the frame → the
+    # stub has started and touched the partial output file
+    deadline = time.time() + 10.0
+    while not target.exists() and time.time() < deadline:
+        time.sleep(0.01)
+    assert target.exists()                   # partial file on disk
+    out.cancel_output()                      # kill + join + delete
+    assert not target.exists()               # partial file removed
+    assert not sentinel.exists()             # stub was killed, not flushed
+    assert not out.active
+    # a new registration works after cancel
+    out.register_output(OutputInfo(str(tmp_path / "c2.mp4"), 8, 4,
+                                   format="mp4"))
+    out.cancel_output()
