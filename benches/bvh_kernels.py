@@ -33,10 +33,11 @@ import jax.numpy as jnp
 
 import pt  # noqa: F401  (enables the persistent compile cache)
 from pt.accel.intersect import intersect_brute
-from pt.accel.pallas_bvh import (build_packet_bvh_sah, packet_closest,
-                                 packet_closest_sub, packet_closest_v3, packet_closest_v4,
-                                 packet_occluded, packet_occluded_sub,
+from pt.accel.pallas_bvh import (build_packet_bvh_sah, packet_closest_v4,
                                  packet_occluded_v4)
+from pt.accel.pallas_bvh_archive import (packet_closest, packet_closest_sub,
+                                         packet_closest_v3, packet_occluded,
+                                         packet_occluded_sub)
 from pt.render.integrator import _coherence_keys
 from pt.scene.examples import make_heightfield_scene
 from pt.scene.flatten import flatten_scene, world_vertices

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import pt  # noqa: F401  (enables the persistent compile cache)
 from pt.accel.intersect import intersect_brute
 from pt.accel.pallas_bvh import (build_bf8, build_packet_bvh_sah,
-                                 packet_closest_bf8, packet_closest_bf8w)
+                                 packet_closest_bf8)
+from pt.accel.pallas_bvh_archive import packet_closest_bf8w
 from pt.scene.flatten import flatten_scene, world_vertices
 
 N_RAYS = 65536
