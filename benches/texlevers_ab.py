@@ -2,18 +2,22 @@
 
 Arms (512x512, 4 spp, pallas backend, 5-bounce full path + 1-bounce
 preview ms/step), then a same-RNG quality gate (the 512² film after
-16 spp, tonemapped, MSE vs the base arm):
+QUALITY_SPP spp, tonemapped, MSE vs the base arm):
 
-  base    round-3 production: trilinear everywhere, f32 rows, unpaired
-  near    + tex_nearest_tail (nearest-mip material sampling, bounces>=1)
-  bf16    + bfloat16 pool rows (half footprint/bytes per gather)
-  paired  + stride-(w+1) pool rows: (x0,x0+1) fetched as one (2,4) slice
-  all     near + bf16 + paired
+  base       round-3 production: trilinear everywhere, f32 rows, unpaired
+  near       + tex_nearest_tail (nearest-mip material sampling, bounces>=1)
+  bf16       + bfloat16 pool rows (half footprint/bytes per gather)
+  pair       + pair-duplicated (P, 8) rows: both bilinear x-corners in ONE
+               row gather (storage x2; MUST be bit-exact vs base)
+  near+bf16  levers 1+3 stacked
+  all        near + bf16 + pair stacked
 
-`paired` must be bit-exact (same texels, same weights). Results land in
-docs/perf_budget.md §14.
+Results stream to stdout per arm and land in docs/perf_budget.md §14.
+(A stride-(w+1) dynamic-slice pair variant OOMed: XLA copies the pool to
+a T(8,128) lane-padded layout for the vmapped slice — 32x HBM.)
 """
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -30,6 +34,7 @@ from pt.run.renderer import Renderer
 
 TEX_SCALE = float(os.environ.get("TEX_SCALE", "1.0"))
 QUALITY_SPP = 16
+OUT_JSON = os.environ.get("TEXLEVERS_JSON", "/tmp/texlevers.json")
 
 
 def to_bf16(tex):
@@ -66,6 +71,20 @@ def run_arm(name, scene, tex, nearest):
     return out
 
 
+def report(results):
+    base_film = results[0]["film"]
+    rows = []
+    print("\narm        b5 ms/step  b1 ms/step   film MSE vs base")
+    for r in results:
+        mse = float(np.mean((r["film"] - base_film) ** 2))
+        rows.append({"name": r["name"], "b5_ms": r["b5_ms"],
+                     "b1_ms": r["b1_ms"], "mse_vs_base": mse})
+        print(f"{r['name']:10s} {r['b5_ms']:10.1f} {r['b1_ms']:11.1f}"
+              f"   {mse:.3e}", flush=True)
+    with open(OUT_JSON, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
 def main():
     t0 = time.perf_counter()
     scene = make_courtyard_scene(tex_scale=TEX_SCALE)
@@ -80,22 +99,24 @@ def main():
     results.append(run_arm("base", scene, pool, nearest=False))
     results.append(run_arm("near", scene, pool, nearest=True))
     results.append(run_arm("bf16", scene, to_bf16(pool), nearest=False))
+    results.append(run_arm("near+bf16", scene, to_bf16(pool), nearest=True))
+    report(results)
     del pool
 
     t0 = time.perf_counter()
     pool_p = build_scene_textures(scene, paired=True, dtype=None)
     print(f"paired pool build {time.perf_counter()-t0:.1f}s "
-          f"rows {pool_p.data.shape[0]}", flush=True)
-    results.append(run_arm("paired", scene, pool_p, nearest=False))
+          f"rows {pool_p.data.shape[0]} width {pool_p.data.shape[1]}",
+          flush=True)
+    results.append(run_arm("pair", scene, pool_p, nearest=False))
     results.append(run_arm("all", scene, to_bf16(pool_p), nearest=True))
     del pool_p
 
-    base_film = results[0]["film"]
-    print("\narm      b5 ms/step  b1 ms/step   film MSE vs base")
-    for r in results:
-        mse = float(np.mean((r["film"] - base_film) ** 2))
-        print(f"{r['name']:8s} {r['b5_ms']:10.1f} {r['b1_ms']:11.1f}"
-              f"   {mse:.3e}", flush=True)
+    report(results)
+    # the pair arm must be bit-exact: same texels, same filter weights
+    pair = next(r for r in results if r["name"] == "pair")
+    exact = bool(np.array_equal(pair["film"], results[0]["film"]))
+    print(f"pair bit-exact vs base: {exact}", flush=True)
 
 
 if __name__ == "__main__":

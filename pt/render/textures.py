@@ -33,7 +33,8 @@ MAX_MIPS = 14   # up to 8192x8192
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceTextures:
-    data: jax.Array        # (P, 4) linear texels (f32 or bf16, see below)
+    data: jax.Array        # (P, 4) linear texels — or (P, 8) when paired;
+                           # f32 or bf16 rows (see build())
     offsets: jax.Array     # (NT, MAX_MIPS) i32 texel offset of each mip
     sizes: jax.Array       # (NT, MAX_MIPS, 2) i32 (w, h) per mip
     mip_counts: jax.Array  # (NT,) i32
@@ -42,11 +43,14 @@ class DeviceTextures:
     # TPU gathers are the shading bottleneck
     all_constant: bool = dataclasses.field(metadata=dict(static=True),
                                            default=False)
-    # static: rows stored with stride w+1 per mip scanline — column w
-    # duplicates column 0 (the repeat-wrap neighbor), so the (x0, x0+1)
-    # bilinear corner pair is always contiguous and fetches as ONE (2, 4)
-    # dynamic-slice gather instead of two row gathers (perf_budget §13
-    # lever 2; costs +1/W pool growth)
+    # static: pair-duplicated rows — row i holds texel i AND its repeat-wrap
+    # x-neighbor as one (8,) row, so both bilinear x-corners arrive in ONE
+    # row gather instead of two (perf_budget §13 lever 2). Offset/stride
+    # math is unchanged (row count == texel count); storage doubles, which
+    # bf16 rows win back. (A stride-(w+1) contiguous-pair variant via
+    # vmapped dynamic_slice was tested first: XLA materializes a
+    # lane-padded (T(8,128)) copy of the whole pool for the slice — 32x
+    # HBM, OOM at Sponza scale.)
     paired: bool = dataclasses.field(metadata=dict(static=True),
                                      default=False)
 
@@ -103,9 +107,10 @@ class TexturePoolBuilder:
     def _push_level(self, m: np.ndarray) -> None:
         """Append one mip level's texels at the current cursor."""
         if self.paired:
-            # duplicate the wrap column: col w == col 0, stride w+1
-            m = np.concatenate([m, m[:, :1]], axis=1)
-        self._texels.append(m.reshape(-1, 4))
+            # pair-duplicated rows: [texel, wrap-x-neighbor] per row —
+            # row count (and the offset math) unchanged, width 8
+            m = np.concatenate([m, np.roll(m, -1, axis=1)], axis=-1)
+        self._texels.append(m.reshape(-1, m.shape[-1]))
         self._cursor += m.shape[0] * m.shape[1]
 
     def add(self, pixels: np.ndarray, srgb: bool = False,
@@ -235,18 +240,15 @@ def _bilinear_at_level(tex: DeviceTextures, tex_idx, uv, level):
     hi = size[..., 1]
 
     if tex.paired:
-        # stride w+1, col w == col 0: the (x0, x0+1) pair is contiguous
-        # and one (2, 4) dynamic-slice gather fetches both corners
+        # pair-duplicated rows: one (8,) row gather returns the (x0, x0+1)
+        # corner pair — both bilinear x-corners per y in a single gather
         x0i = jnp.mod(x0.astype(jnp.int32), wi)
 
         def fetch_pair(yi):
             yi = jnp.mod(yi.astype(jnp.int32), hi)
-            start = off + yi * (wi + 1) + x0i
-            rows = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(tex.data, (s, 0), (2, 4))
-            )(start)
-            return (rows[:, 0].astype(jnp.float32),
-                    rows[:, 1].astype(jnp.float32))
+            rows = tex.data[off + yi * wi + x0i]            # (N, 8)
+            return (rows[..., :4].astype(jnp.float32),
+                    rows[..., 4:].astype(jnp.float32))
 
         c00, c10 = fetch_pair(y0)
         c01, c11 = fetch_pair(y0 + 1)
@@ -280,7 +282,8 @@ def sample_texture_grad(tex: DeviceTextures, tex_idx, uv, dudx_dvdx=None,
     """
     if tex.all_constant:
         # 1x1 constants: one gather, no filtering
-        return tex.data[tex.offsets[tex_idx, 0]].astype(jnp.float32)
+        texel = tex.data[tex.offsets[tex_idx, 0]]
+        return texel[..., :4].astype(jnp.float32)
     mip_count = tex.mip_counts[tex_idx]
     if dudx_dvdx is None:
         # explicit level-0 sampling: single bilinear fetch
