@@ -1289,24 +1289,40 @@ class Renderer:
             self._plan_ages[("full", n_local)] = self._plan_ages.get(("full", n_local), 0) + 1
         self.accum = accum_flat.reshape(self.accum.shape)
 
+    def _film_host(self) -> np.ndarray:
+        """The accumulation film as a host array. Under a mesh the film is
+        band-sharded; it assembles through ONE all-gather per saved frame
+        (pt/dist/mesh.assemble_film — crosses DCN only when the mesh spans
+        hosts; ≙ the reference reading back the accumulation image once per
+        save, OutputSaver.cpp:113-181). Per-step code never calls this."""
+        if self.mesh is not None:
+            from pt.dist.mesh import assemble_film
+            return assemble_film(self.accum, self.mesh)
+        return np.asarray(self.accum)
+
     def film_mean(self) -> np.ndarray:
         """Linear per-pixel mean radiance (host); handles the adaptive
         film's per-pixel sample counts."""
         if self._spp_map is not None:
             counts = np.maximum(self._spp_map, 1).astype(np.float32)
-            return np.asarray(self.accum) / counts.reshape(
+            return self._film_host() / counts.reshape(
                 self.height, self.width, 1)
-        return np.asarray(self.accum) / max(self.total_samples, 1)
+        return self._film_host() / max(self.total_samples, 1)
 
     def snapshot(self, hdr: bool = False) -> np.ndarray:
         """Resolve the film through the post stack → float image (host)."""
+        # mesh: assemble the band-sharded film first (see _film_host);
+        # single-device keeps the film on device through the post stack
+        # (snapshot also feeds the live viewer's per-frame stream)
+        accum = (self.accum if self.mesh is None
+                 else jnp.asarray(self._film_host()))
         if self._spp_map is not None:
             # adaptive film: per-pixel sample counts
             counts = np.maximum(self._spp_map, 1).astype(np.float32)
-            mean = self.accum / jnp.asarray(
+            mean = accum / jnp.asarray(
                 counts.reshape(self.height, self.width, 1))
             return np.asarray(postprocess(mean, 1.0, self.post, hdr))
-        out = postprocess(self.accum, float(max(self.total_samples, 1)),
+        out = postprocess(accum, float(max(self.total_samples, 1)),
                           self.post, hdr)
         return np.asarray(out)
 

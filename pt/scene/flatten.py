@@ -11,6 +11,14 @@ material/geometry buffers + SBT records) with a TPU-first layout:
   replaces both the TLAS instance transforms and the closest-hit
   per-vertex transform math (Shaders/sampling.glsl:5-15). Recompute is
   nearly free on the MXU; divergent two-level BVH traversal is not.
+  CEILING: duplicated per-vertex state is ~60 B/vert → ~72M verts/chip
+  (16 GB HBM), and the host SAH build is linear in duplicated tris
+  (benches/instancing_budget.py). For heavy-reuse static scenes
+  (Bistro/Emerald-Square-class) the shared-BLAS path in
+  pt/accel/instanced.py keeps ONE object-space page set per mesh and
+  instances it at traversal time (per-visit ray transform; A/B in
+  benches/instancing_ab.py) — shared TLAS semantics,
+  AccelerationStructure.cpp:260-301.
 
 * The three material models are packed into one unified SoA table
   (type-dispatch becomes vector selects instead of the reference's SBT
