@@ -28,11 +28,12 @@ from pt.run.renderer import Renderer
 from pt.scene.standin import make_courtyard_scene
 
 SET = None
+TEX = None           # scene texture pool, built ONCE (2.1 GiB at full scale)
 
 
 def _fresh(scene, size):
     r = Renderer(SET)
-    r.set_scene(scene, stream_textures=False)
+    r.set_scene(scene, tex=TEX, stream_textures=False)
     r.on_resize(size, size)
     return r
 
@@ -60,6 +61,13 @@ def main():
         scene = make_heightfield_scene()
     else:
         scene = make_courtyard_scene()
+    if scene.textures:
+        global TEX
+        from pt.scene.textures import build_scene_textures
+        t0 = time.perf_counter()
+        TEX = build_scene_textures(scene)
+        print(f"texture pool build {time.perf_counter()-t0:.1f}s "
+              f"({TEX.data.nbytes/2**30:.2f} GiB)", flush=True)
 
     # reference film (deep uniform accumulation), cached across runs
     key = f"{args.scene}_{args.size}_{args.ref_spp}_{args.bounces}"
