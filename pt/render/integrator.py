@@ -114,9 +114,10 @@ class PathTracingSettings:
     # >= 1): rounds the LOD to one mip and skips the second bilinear —
     # half the texture gathers on the bounces where the <=half-level LOD
     # blend error is film-invisible (MSE-gated A/B: docs/perf_budget.md
-    # §14). Primary-bounce samples keep full trilinear; set False for
-    # reference-exact textureGrad filtering everywhere.
-    tex_nearest_tail: bool = False
+    # §14: -9.8% full-step on the 2.1 GiB courtyard at same-RNG film
+    # MSE 3.1e-5). Primary-bounce samples keep full trilinear; set False
+    # for reference-exact textureGrad filtering everywhere.
+    tex_nearest_tail: bool = True
 
 
 class AlphaSplit(NamedTuple):

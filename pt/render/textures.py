@@ -85,12 +85,19 @@ def build_mip_chain(pixels: np.ndarray) -> List[np.ndarray]:
     return mips[:MAX_MIPS]
 
 
-# Production pool-format defaults, measured in benches/tex_ab.py /
-# benches/texstage.py (docs/perf_budget.md §13 levers 2+3). Both default
-# OFF until the on-chip A/B + MSE gate land; TexturePoolBuilder callers
-# can override per pool.
-POOL_PAIRED_DEFAULT = False
-POOL_DTYPE_DEFAULT: object = None      # None → float32 rows
+# Production pool-format defaults, measured on-chip in
+# benches/texlevers_ab.py (docs/perf_budget.md §14, 2026-08-20).
+# Paired rows are BIT-EXACT vs the unpaired pool (same texels, same
+# filter weights; measured equal on the 2.1 GiB courtyard film) and cut
+# a full 5-bounce step 21.6%. bf16 rows halve bytes/gather (paying back
+# pair's 2x storage); the reference itself stores color textures as
+# 8-bit sRGB / BCn blocks (TextureUploader.cpp:571-595), so bf16's 8
+# mantissa bits meet or beat the reference's storage precision for
+# every 8-bit-sourced texel (same-RNG film MSE 1.8e-4, far under the
+# 1e-3 contract). TexturePoolBuilder callers can override per pool;
+# dtype=jnp.float32 + paired=False reproduces the round-3 pool.
+POOL_PAIRED_DEFAULT = True
+POOL_DTYPE_DEFAULT: object = jnp.bfloat16
 
 
 class TexturePoolBuilder:

@@ -68,7 +68,11 @@ def test_broken_texture_fallback():
     pool = build_texture_pool([info], Config())
     # slot SCENE_TEXTURE_OFFSET exists (magenta placeholder), pool valid
     assert pool.count == SCENE_TEXTURE_OFFSET + 1
-    texel = np.asarray(pool.data[int(pool.offsets[SCENE_TEXTURE_OFFSET, 0])])
+    # row layout may be pair-duplicated (P, 8) bf16 (perf_budget §14);
+    # the first 4 components are always the texel
+    texel = np.asarray(
+        pool.data[int(pool.offsets[SCENE_TEXTURE_OFFSET, 0])],
+        dtype=np.float32)[:4]
     np.testing.assert_allclose(texel, [1, 0, 1, 1])
 
 
@@ -92,8 +96,13 @@ def test_srgb_applied_to_color_only():
     pool = build_texture_pool(infos, Config())
     c = float(pool.data[int(pool.offsets[SCENE_TEXTURE_OFFSET, 0])][0])
     n = float(pool.data[int(pool.offsets[SCENE_TEXTURE_OFFSET + 1, 0])][0])
-    assert abs(c - srgb_to_linear(128 / 255.0)) < 1e-5
-    assert abs(n - 128 / 255.0) < 1e-5
+    # expectations rounded through the pool's storage dtype (bf16 by
+    # default, perf_budget §14) so the test checks the transfer function,
+    # not the storage precision
+    dt = pool.data.dtype
+    assert abs(c - float(np.asarray(srgb_to_linear(128 / 255.0),
+                                    dtype=dt))) < 1e-6
+    assert abs(n - float(np.asarray(128 / 255.0, dtype=dt))) < 1e-6
 
 
 def test_mip_chain_and_trilinear():
@@ -118,7 +127,9 @@ def test_default_pool_constants():
     assert pool.all_constant
     idx = jnp.asarray([DEFAULT_NORMAL_TEXTURE], jnp.int32)
     out = np.asarray(sample_texture_grad(pool, idx, jnp.asarray([[0.3, 0.7]])))
-    np.testing.assert_allclose(out[0], [128 / 255, 128 / 255, 1, 1])
+    # default pool stores bf16 rows (perf_budget §14): ~2^-9 rounding
+    np.testing.assert_allclose(out[0], [128 / 255, 128 / 255, 1, 1],
+                               atol=1.0 / 256)
 
 
 def test_repeat_wrap():
@@ -171,7 +182,7 @@ def test_paired_pool_bit_exact():
 
 
 def test_bf16_pool_close_and_half_size():
-    base = _rand_pool(dtype=None)
+    base = _rand_pool(dtype=jnp.float32)   # explicit f32 reference pool
     bf = _rand_pool(dtype=jnp.bfloat16)
     assert bf.data.dtype == jnp.bfloat16
     assert bf.data.nbytes == base.data.nbytes // 2
