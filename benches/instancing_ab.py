@@ -155,7 +155,21 @@ def run(n_inst):
     return out
 
 
+def warmup():
+    """Tiny untimed builds of both arms so the timed builds below pay
+    host work only, not the backend's first-compile of the page-packing
+    and collapse jits (observed ~150 s on the axon tunnel)."""
+    pos, tris = grid_mesh(n=8)
+    seg_t = transforms(2)
+    wpos = np.concatenate([pos @ m[:3, :3].T.astype(np.float32)
+                           + m[:3, 3].astype(np.float32) for m in seg_t])
+    wtris = np.concatenate([tris + s * len(pos) for s in range(2)])
+    build_bf8(build_packet_bvh_sah(wpos, wtris, block=32))
+    build_instanced_bf8([(pos, tris, None)], [0, 0], seg_t)
+
+
 if __name__ == "__main__":
     counts = [int(a) for a in sys.argv[1:]] or [16, 64, 256]
+    warmup()
     for n in counts:
         run(n)

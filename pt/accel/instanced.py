@@ -187,6 +187,9 @@ def build_instanced_bf8(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
     if not sah_available():
         return None
     seg_mesh = np.asarray(seg_mesh, np.int64)
+    if len(seg_mesh) and not (0 <= seg_mesh.min()
+                              and seg_mesh.max() < len(meshes)):
+        raise ValueError("seg_mesh references a mesh index out of range")
     seg_transform = np.asarray(seg_transform, np.float64)
     n_segs = len(seg_mesh)
     if n_segs > MAX_SEGS:
@@ -198,27 +201,38 @@ def build_instanced_bf8(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
         return None                      # singular instance transform
 
     # grow the common block until every (seg, mesh-leaf) pair fits the
-    # singleton-leaf top-tree budget
+    # singleton-leaf top-tree budget. ceil(T/block) is only a LOWER bound
+    # on a mesh's leaf count (SAH leaves are rarely full), so the bound
+    # merely skips infeasible blocks; feasibility is decided on the
+    # ACTUAL leaf counts of the built meshes, retrying coarser on
+    # overflow (first hit round 4: 6k-tri mesh x16 — bound said 3040
+    # pairs at block 32, the real tree had 4144).
     uses = np.bincount(seg_mesh, minlength=len(meshes))
     block = max(32, -(-block // 32) * 32)
+    built_meshes = None
     while block <= 1024:
         worst = sum(int(uses[mi]) * -(-np.asarray(m[1]).shape[0] // block)
                     for mi, m in enumerate(meshes))
-        if worst <= MAX_INST_LEAVES:
-            break
+        if worst > MAX_INST_LEAVES:
+            block *= 2
+            continue
+        built = [_mesh_leaves(positions, tri_idx, block,
+                              max_leaves=MAX_INST_LEAVES,
+                              tri_opaque=tri_opaque, id_base=0)
+                 for positions, tri_idx, tri_opaque in meshes]
+        if all(b is not None for b in built):
+            actual = sum(int(uses[mi]) * len(b[1])
+                         for mi, b in enumerate(built))
+            if actual <= MAX_INST_LEAVES:
+                built_meshes = built
+                break
         block *= 2
-    if block > 1024:
+    if built_meshes is None:
         return None
 
     mesh_pages, mesh_lo, mesh_hi, page_base = [], [], [], []
     base = 0
-    for positions, tri_idx, tri_opaque in meshes:
-        built = _mesh_leaves(positions, tri_idx, block,
-                             max_leaves=MAX_INST_LEAVES,
-                             tri_opaque=tri_opaque, id_base=0)
-        if built is None:
-            return None
-        pages, llo, lhi = built
+    for pages, llo, lhi in built_meshes:
         mesh_pages.append(pages)
         mesh_lo.append(llo)
         mesh_hi.append(lhi)
