@@ -113,7 +113,15 @@ def run(n_inst):
     t0 = time.perf_counter()
     inst = build_instanced_bf8([(pos, tris, None)], [0] * n_inst, seg_t)
     inst_build_s = time.perf_counter() - t0
-    assert inst is not None
+    if inst is None:
+        # capacity ceiling, not a bug: singleton-leaf pairs are bounded
+        # by the BF8 collapse's 600 KiB SMEM gate (~8k pairs) and blocks
+        # by the kernel's scoped-VMEM limit (<= 256) — production falls
+        # back to flatten here (pt/run/renderer.py _ensure_accel)
+        print(f"inst : INFEASIBLE at {n_inst} instances "
+              f"(pairs > SMEM budget at block <= 256) -> flatten fallback",
+              flush=True)
+        return {"n_inst": n_inst, "inst_feasible": False}
     inst_bytes = int(inst.pages.nbytes) + pos.nbytes * 4
     print(f"inst : build {inst_build_s:6.2f}s           "
           f"pages {inst.pages.nbytes/2**20:7.1f} MiB  "
@@ -127,8 +135,28 @@ def run(n_inst):
            "bytes_ratio": inst_bytes / flat_bytes}
     for tag, (o, d) in (("incoh", (o_inc, d_inc)),
                         ("coh", (o_coh, d_coh))):
-        hf, t_f = timed(packet_closest_bf8, flat8, o, d, 1e9)
-        hi, t_i = timed(packet_closest_bf8i, inst, o, d, 1e9)
+        # either arm can exceed the kernel's scoped-VMEM budget when the
+        # leaf cap forces giant blocks (first seen: flat at 256x6050 tris
+        # -> block 512 -> 25.8M scoped vs the 16M limit). Report the
+        # failure as a datum instead of dying: a flat tree that cannot
+        # even compile IS the flatten ceiling the instanced path removes.
+        hf = hi = None
+        try:
+            hf, t_f = timed(packet_closest_bf8, flat8, o, d, 1e9)
+        except Exception as e:
+            print(f"closest[{tag:5s}]: flat COMPILE-FAIL "
+                  f"(block {flat8.block}): {str(e)[:120]}", flush=True)
+        try:
+            hi, t_i = timed(packet_closest_bf8i, inst, o, d, 1e9)
+        except Exception as e:
+            print(f"closest[{tag:5s}]: inst COMPILE-FAIL "
+                  f"(block {inst.block}): {str(e)[:120]}", flush=True)
+        if hi is not None and hf is None:
+            print(f"closest[{tag:5s}]: inst {t_i:7.2f} ms "
+                  f"(flat arm uncompilable)", flush=True)
+        if hf is None or hi is None:
+            out[f"closest_{tag}_ratio"] = None
+            continue
         mesh_tri, seg = decode_instanced_tri(hi.tri)
         glob = jnp.where(mesh_tri >= 0, seg * n_tri + mesh_tri, -1)
         tf = np.asarray(hf.t)
@@ -146,8 +174,14 @@ def run(n_inst):
               f"id agree {id_agree.mean()*100:.3f}%", flush=True)
         out[f"closest_{tag}_ratio"] = t_i / t_f
 
-        of, tof = timed(packet_occluded_bf8, flat8, o, d, 30.0)
-        oi, toi = timed(packet_occluded_bf8i, inst, o, d, 30.0)
+        try:
+            of, tof = timed(packet_occluded_bf8, flat8, o, d, 30.0)
+            oi, toi = timed(packet_occluded_bf8i, inst, o, d, 30.0)
+        except Exception as e:
+            print(f"occl   [{tag:5s}]: COMPILE-FAIL: {str(e)[:120]}",
+                  flush=True)
+            out[f"occl_{tag}_ratio"] = None
+            continue
         occ_agree = (np.asarray(of) == np.asarray(oi)).mean()
         print(f"occl   [{tag:5s}]: flat {tof:7.2f} ms  inst {toi:7.2f} ms "
               f"({toi/tof:5.2f}x)  agree {occ_agree*100:.3f}%", flush=True)
@@ -169,7 +203,7 @@ def warmup():
 
 
 if __name__ == "__main__":
-    counts = [int(a) for a in sys.argv[1:]] or [16, 64, 256]
+    counts = [int(a) for a in sys.argv[1:]] or [16, 64, 128, 256]
     warmup()
     for n in counts:
         run(n)

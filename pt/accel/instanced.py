@@ -56,9 +56,19 @@ SEG_MASK = 0x3FF << SEG_SHIFT
 TRI_MASK = (1 << SEG_SHIFT) - 1
 MAX_SEGS = 1 << 10
 # instanced top trees get singleton leaves (1 page per leaf), so the
-# leaf + page/seg tables all scale with the leaf count; cap it so the
-# total SMEM stays under the measured Mosaic ceiling (~768 KiB)
-MAX_INST_LEAVES = 4096
+# leaf + page/seg tables all scale with the leaf count. This is a loose
+# sanity cap only — the REAL gates are the byte-accurate SMEM budget
+# check at the end of build_instanced_bf8 (base_kb <= 600, retest fit
+# <= 640) and MAX_INST_BLOCK below. Raised 4096 -> 12288 in round 4:
+# 256 instances x 6k tris needs ~8.7k pairs at block 256, and at 4096
+# the block loop escalated to 512, which the kernel cannot compile (see
+# MAX_INST_BLOCK).
+MAX_INST_LEAVES = 12288
+# blocks above 256 exceed the kernel's scoped-VMEM budget (measured on
+# the v5e 2026-08-20: block 512 -> 25.8M scoped vs the 16M limit, both
+# the flat AND instanced closest kernels fail to compile); the builder
+# returns None instead of emitting an uncompilable structure
+MAX_INST_BLOCK = 256
 
 
 @jax.tree_util.register_dataclass
@@ -85,11 +95,21 @@ class BF8Instanced:
                                           default=True)
     root_lo: jax.Array | None = None
     root_hi: jax.Array | None = None
+    # when set ((S,) i32 — segment s's first triangle id in the flattened
+    # global numbering, pt/scene/flatten.py shared_mesh_layout), closest()
+    # remaps (segment, mesh-local) winning ids to GLOBAL flattened ids, so
+    # the integrator's shading (tri_mat / tri_* row gathers) runs
+    # unchanged on instanced hits
+    seg_tri_base: jax.Array | None = None
 
     # integrator duck-dispatch protocol (pt.render.integrator
     # trace_closest / trace_occluded / _root_bounds)
     def closest(self, origins, dirs, tmax, tmin):
-        return packet_closest_bf8i(self, origins, dirs, tmax, tmin)
+        hit = packet_closest_bf8i(self, origins, dirs, tmax, tmin)
+        if self.seg_tri_base is not None:
+            hit = hit._replace(tri=remap_global_tri(hit.tri,
+                                                    self.seg_tri_base))
+        return hit
 
     def occluded(self, origins, dirs, dist, tmin):
         return packet_occluded_bf8i(self, origins, dirs, dist, tmin)
@@ -104,6 +124,17 @@ def decode_instanced_tri(tri):
     seg = jnp.where(tri >= 0, (tri & SEG_MASK) >> SEG_SHIFT, 0)
     mesh_tri = jnp.where(tri >= 0, tri & TRI_MASK, tri)
     return mesh_tri, seg
+
+
+def remap_global_tri(tri, seg_tri_base):
+    """(segment, mesh-local) winning ids → flattened GLOBAL triangle ids
+    (seg_tri_base[seg] + local), preserving the miss sentinel (-1) and
+    ALPHA_TRI_BIT (bit 30 — the any-hit retest marker the flat kernels
+    also return)."""
+    alpha = tri & ALPHA_TRI_BIT
+    mesh_tri, seg = decode_instanced_tri(tri)
+    glob = jnp.asarray(seg_tri_base, jnp.int32)[seg] + mesh_tri
+    return jnp.where(tri >= 0, glob | alpha, tri)
 
 
 def _mesh_leaves(positions: np.ndarray, tri_idx: np.ndarray, block: int,
@@ -173,15 +204,18 @@ def build_instanced_bf8(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
                                                Optional[np.ndarray]]],
                         seg_mesh: Sequence[int],
                         seg_transform: np.ndarray,
-                        block: int = 32) -> Optional[BF8Instanced]:
+                        block: int = 32,
+                        seg_tri_base=None) -> Optional[BF8Instanced]:
     """Build the shared-page instanced structure.
 
     meshes: per unique mesh (positions (Vm,3), tri_idx (Tm,3),
     tri_opaque (Tm,) bool or None) in OBJECT space. seg_mesh: mesh index
-    per segment. seg_transform: (S, 4, 4) world transforms. Returns None
-    when the native builder is unavailable, a transform is singular, or
-    the capacity contract cannot be met (callers fall back to flatten).
-    """
+    per segment. seg_transform: (S, 4, 4) world transforms. seg_tri_base
+    ((S,) global tri offsets, optional): when given, closest() remaps hit
+    ids to the flattened global numbering (production integrator mode).
+    Returns None when the native builder is unavailable, a transform is
+    singular, or the capacity contract cannot be met (callers fall back
+    to flatten)."""
     from pt.accel.native import sah_available
 
     if not sah_available():
@@ -200,117 +234,124 @@ def build_instanced_bf8(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
     if (np.abs(dets) < 1e-30).any():
         return None                      # singular instance transform
 
-    # grow the common block until every (seg, mesh-leaf) pair fits the
-    # singleton-leaf top-tree budget. ceil(T/block) is only a LOWER bound
-    # on a mesh's leaf count (SAH leaves are rarely full), so the bound
-    # merely skips infeasible blocks; feasibility is decided on the
-    # ACTUAL leaf counts of the built meshes, retrying coarser on
-    # overflow (first hit round 4: 6k-tri mesh x16 — bound said 3040
-    # pairs at block 32, the real tree had 4144).
+    # Grow the common block until the WHOLE structure fits every budget.
+    # ceil(T/block) is only a LOWER bound on a mesh's leaf count (SAH
+    # leaves are rarely full), and the BF8 collapse has its own SMEM gate
+    # (7*n8*8 scalars <= 600 KiB) that only materialises after the top
+    # tree exists — so feasibility is decided by ATTEMPTING the full
+    # build per block and retrying coarser on any downstream overflow
+    # (first hits, round 4: 6k tris x16 — the ceil bound said 3040 pairs
+    # at block 32, the real tree had 4144; 6k x128 — the 8192-pair top
+    # tree built fine but its collapse blew the 600 KiB SMEM gate, and
+    # only block 256 fits).
     uses = np.bincount(seg_mesh, minlength=len(meshes))
-    block = max(32, -(-block // 32) * 32)
-    built_meshes = None
-    while block <= 1024:
-        worst = sum(int(uses[mi]) * -(-np.asarray(m[1]).shape[0] // block)
-                    for mi, m in enumerate(meshes))
-        if worst > MAX_INST_LEAVES:
-            block *= 2
-            continue
-        built = [_mesh_leaves(positions, tri_idx, block,
-                              max_leaves=MAX_INST_LEAVES,
-                              tri_opaque=tri_opaque, id_base=0)
-                 for positions, tri_idx, tri_opaque in meshes]
-        if all(b is not None for b in built):
-            actual = sum(int(uses[mi]) * len(b[1])
-                         for mi, b in enumerate(built))
-            if actual <= MAX_INST_LEAVES:
-                built_meshes = built
-                break
-        block *= 2
-    if built_meshes is None:
-        return None
-
-    mesh_pages, mesh_lo, mesh_hi, page_base = [], [], [], []
-    base = 0
-    for pages, llo, lhi in built_meshes:
-        mesh_pages.append(pages)
-        mesh_lo.append(llo)
-        mesh_hi.append(lhi)
-        page_base.append(base)
-        base += pages.shape[0]
-    page_table = np.concatenate(mesh_pages, axis=0)
-
-    # (segment, mesh-leaf) pairs -> world boxes + (page, seg) indirection
-    prim_lo, prim_hi, prim_page, prim_seg = [], [], [], []
-    for s in range(n_segs):
-        mi = int(seg_mesh[s])
-        wlo, whi = _transform_boxes(mesh_lo[mi], mesh_hi[mi],
-                                    seg_transform[s])
-        n = len(wlo)
-        prim_lo.append(wlo)
-        prim_hi.append(whi)
-        prim_page.append(np.arange(page_base[mi], page_base[mi] + n,
-                                   dtype=np.int32))
-        prim_seg.append(np.full(n, s, np.int32))
-    prim_lo = np.concatenate(prim_lo)
-    prim_hi = np.concatenate(prim_hi)
-    prim_page = np.concatenate(prim_page)
-    prim_seg = np.concatenate(prim_seg)
-    n_prim = len(prim_lo)
-    if n_prim > MAX_INST_LEAVES:
-        return None
-    if n_prim < 2:
-        return None                      # single-leaf scene: use flatten
-
-    # top tree over the pair boxes, singleton leaves
-    from pt.accel.native import OVERFLOW, build_sah
-    result = build_sah(prim_lo, prim_hi, (prim_lo + prim_hi) * 0.5,
-                       max_leaf=1, max_nodes=2 * n_prim - 1 + 8)
-    if result is None or result is OVERFLOW:
-        return None
-    order, node_lo, node_hi, miss, leaf_start, leaf_count = result
-    n_top = len(miss)
-    leaf_nodes = np.nonzero(leaf_start >= 0)[0]
-    n_leaves = len(leaf_nodes)
-    top_leaf = np.full(n_top, -1, np.int32)
-    top_leaf[leaf_nodes] = np.arange(n_leaves, dtype=np.int32)
-
-    pbvh = PacketBVH(top_lo=jnp.asarray(node_lo), top_hi=jnp.asarray(node_hi),
-                     top_miss=jnp.asarray(miss),
-                     top_leaf=jnp.asarray(top_leaf),
-                     pages=jnp.asarray(page_table), n_top=int(n_top),
-                     block=block)
-    b8 = build_bf8(pbvh)
-    if b8 is None:
-        return None
-
-    # leaf id (build_bf8 numbering == top_leaf numbering) -> prim
-    prim_of_leaf = order[leaf_start[leaf_nodes]]
-    leaf_page = prim_page[prim_of_leaf]
-    leaf_seg = prim_seg[prim_of_leaf]
-
-    # SMEM budget incl. the instancing tables decides the leaf retest
-    n8 = b8.n8
-    base_kb = (7 * n8 * 8 + 2 * n_leaves + 12 * n_segs) * 4 / 1024
-    leaf_kb = 6 * n_leaves * 4 / 1024
-    if base_kb > 600:
-        return None
-    leaf_retest = base_kb + leaf_kb <= 640
-
     inv = np.linalg.inv(seg_transform)                     # (S, 4, 4)
     seg_inv = np.concatenate([inv[:, :3, :3].reshape(n_segs, 9),
                               inv[:, :3, 3]], axis=1).astype(np.float32)
 
-    return BF8Instanced(
-        c_lo=b8.c_lo, c_hi=b8.c_hi, c_ent=b8.c_ent,
-        l_lo=b8.l_lo, l_hi=b8.l_hi,
-        leaf_page=jnp.asarray(leaf_page),
-        leaf_seg=jnp.asarray(leaf_seg),
-        seg_inv=jnp.asarray(seg_inv.reshape(-1)),
-        pages=jnp.asarray(page_table),
-        n8=n8, n_leaves=n_leaves, n_segs=n_segs, block=block,
-        leaf_retest=leaf_retest,
-        root_lo=b8.root_lo, root_hi=b8.root_hi)
+    def _attempt(block: int) -> Optional[BF8Instanced]:
+        worst = sum(int(uses[mi]) * -(-np.asarray(m[1]).shape[0] // block)
+                    for mi, m in enumerate(meshes))
+        if worst > MAX_INST_LEAVES:
+            return None
+        built = [_mesh_leaves(positions, tri_idx, block,
+                              max_leaves=MAX_INST_LEAVES,
+                              tri_opaque=tri_opaque, id_base=0)
+                 for positions, tri_idx, tri_opaque in meshes]
+        if not all(b is not None for b in built):
+            return None
+        if sum(int(uses[mi]) * len(b[1])
+               for mi, b in enumerate(built)) > MAX_INST_LEAVES:
+            return None
+
+        mesh_pages, mesh_lo, mesh_hi, page_base = [], [], [], []
+        base = 0
+        for pages, llo, lhi in built:
+            mesh_pages.append(pages)
+            mesh_lo.append(llo)
+            mesh_hi.append(lhi)
+            page_base.append(base)
+            base += pages.shape[0]
+        page_table = np.concatenate(mesh_pages, axis=0)
+
+        # (segment, mesh-leaf) pairs -> world boxes + (page, seg) tables
+        prim_lo, prim_hi, prim_page, prim_seg = [], [], [], []
+        for s in range(n_segs):
+            mi = int(seg_mesh[s])
+            wlo, whi = _transform_boxes(mesh_lo[mi], mesh_hi[mi],
+                                        seg_transform[s])
+            n = len(wlo)
+            prim_lo.append(wlo)
+            prim_hi.append(whi)
+            prim_page.append(np.arange(page_base[mi], page_base[mi] + n,
+                                       dtype=np.int32))
+            prim_seg.append(np.full(n, s, np.int32))
+        prim_lo = np.concatenate(prim_lo)
+        prim_hi = np.concatenate(prim_hi)
+        prim_page = np.concatenate(prim_page)
+        prim_seg = np.concatenate(prim_seg)
+        n_prim = len(prim_lo)
+        if n_prim > MAX_INST_LEAVES:
+            return None
+        if n_prim < 2:
+            return None                  # single-leaf scene: use flatten
+
+        # top tree over the pair boxes, singleton leaves
+        from pt.accel.native import OVERFLOW, build_sah
+        result = build_sah(prim_lo, prim_hi, (prim_lo + prim_hi) * 0.5,
+                           max_leaf=1, max_nodes=2 * n_prim - 1 + 8)
+        if result is None or result is OVERFLOW:
+            return None
+        order, node_lo, node_hi, miss, leaf_start, leaf_count = result
+        n_top = len(miss)
+        leaf_nodes = np.nonzero(leaf_start >= 0)[0]
+        n_leaves = len(leaf_nodes)
+        top_leaf = np.full(n_top, -1, np.int32)
+        top_leaf[leaf_nodes] = np.arange(n_leaves, dtype=np.int32)
+
+        pbvh = PacketBVH(top_lo=jnp.asarray(node_lo),
+                         top_hi=jnp.asarray(node_hi),
+                         top_miss=jnp.asarray(miss),
+                         top_leaf=jnp.asarray(top_leaf),
+                         pages=jnp.asarray(page_table), n_top=int(n_top),
+                         block=block)
+        b8 = build_bf8(pbvh)
+        if b8 is None:
+            return None
+
+        # leaf id (build_bf8 numbering == top_leaf numbering) -> prim
+        prim_of_leaf = order[leaf_start[leaf_nodes]]
+        leaf_page = prim_page[prim_of_leaf]
+        leaf_seg = prim_seg[prim_of_leaf]
+
+        # SMEM budget incl. the instancing tables decides the leaf retest
+        n8 = b8.n8
+        base_kb = (7 * n8 * 8 + 2 * n_leaves + 12 * n_segs) * 4 / 1024
+        leaf_kb = 6 * n_leaves * 4 / 1024
+        if base_kb > 600:
+            return None
+        leaf_retest = base_kb + leaf_kb <= 640
+
+        return BF8Instanced(
+            c_lo=b8.c_lo, c_hi=b8.c_hi, c_ent=b8.c_ent,
+            l_lo=b8.l_lo, l_hi=b8.l_hi,
+            leaf_page=jnp.asarray(leaf_page),
+            leaf_seg=jnp.asarray(leaf_seg),
+            seg_inv=jnp.asarray(seg_inv.reshape(-1)),
+            pages=jnp.asarray(page_table),
+            n8=n8, n_leaves=n_leaves, n_segs=n_segs, block=block,
+            leaf_retest=leaf_retest,
+            root_lo=b8.root_lo, root_hi=b8.root_hi,
+            seg_tri_base=(None if seg_tri_base is None
+                          else jnp.asarray(seg_tri_base, jnp.int32)))
+
+    block = max(32, -(-block // 32) * 32)
+    while block <= MAX_INST_BLOCK:
+        out = _attempt(block)
+        if out is not None:
+            return out
+        block *= 2
+    return None
 
 
 def _xform_rays(sub, a):

@@ -342,10 +342,19 @@ class Renderer:
                  post: Optional[PostProcessSettings] = None,
                  min_refresh_rate: float = 60.0,
                  max_samples_per_frame: int = 64,
-                 mesh=None):
+                 mesh=None,
+                 instancing: str = "auto"):
         """`mesh`: optional jax.sharding.Mesh for multi-chip film-row data
-        parallelism (pt.dist.film_mesh()); None = single device."""
+        parallelism (pt.dist.film_mesh()); None = single device.
+
+        `instancing`: shared-BLAS accel policy for static opaque scenes
+        (≙ the reference's one-BLAS-per-Model TLAS reuse,
+        AccelerationStructure.cpp:260-301). "auto" switches to
+        pt/accel/instanced.py when geometry reuse is heavy enough that
+        the flatten build/memory cost dominates (see _want_instanced);
+        "shared" forces it where feasible; "flatten" disables it."""
         self.mesh = mesh
+        self.instancing = instancing
         self._stages = None          # lazily built _ShardedStages
         self.settings = settings or PathTracingSettings()
         self.post = post or PostProcessSettings()
@@ -540,6 +549,24 @@ class Renderer:
     # LRU-cached pipeline variants, Core/Cache.h + Pipeline.h:303-372)
     _accel_cache = None
 
+    @staticmethod
+    def _want_instanced(mode: str, dup_ratio: float, n_tris: int,
+                        has_alpha: bool) -> bool:
+        """Shared-BLAS selection policy. The instanced kernels trace
+        1.03-1.14x the flat kernels on incoherent closest hits
+        (benches/instancing_ab.py), so "auto" only switches when the
+        flatten path's duplication cost dominates: heavy reuse (>=4x)
+        AND enough flattened triangles that the duplicated host SAH
+        build + Woop pages are multi-second / tens-of-MiB (the A/B's
+        64-instance point: build 5.6 s -> 0.8 s, bytes 0.015x). Alpha
+        scenes stay on flatten: the opaque/alpha split trees
+        (AlphaSplit) are not instanced yet."""
+        if has_alpha or mode == "flatten":
+            return False
+        if mode == "shared":
+            return True
+        return dup_ratio >= 4.0 and n_tris >= 200_000
+
     def _ensure_accel(self) -> None:
         if not (self._accel_dirty or self.accel is None):
             return
@@ -599,6 +626,38 @@ class Renderer:
                                                  tri_opaque_np=opq_rows,
                                                  spatial=True)
                     return b
+
+                # shared-BLAS (TLAS-semantics) arm: dedupe Woop pages
+                # across segments that share a mesh; hits come back
+                # remapped to global ids so shading is untouched
+                layout = None
+                if self.instancing != "flatten" \
+                        and not bool(self.ds.has_alpha):
+                    from pt.scene.flatten import shared_mesh_layout
+                    layout = shared_mesh_layout(self.scene)
+                if layout is not None:
+                    meshes, seg_mesh, seg_base, dup = layout
+                    if self._want_instanced(self.instancing, dup,
+                                            int(tri_np.shape[0]),
+                                            bool(self.ds.has_alpha)):
+                        ikey = (key, "instanced")
+                        hit = Renderer._accel_cache.get(ikey)
+                        if hit is None:
+                            from pt.accel.instanced import \
+                                build_instanced_bf8
+                            inst = build_instanced_bf8(
+                                meshes, seg_mesh,
+                                np.asarray(self.ds.seg_transform,
+                                           np.float64),
+                                seg_tri_base=seg_base)
+                            if inst is not None:
+                                Renderer._accel_cache.put(ikey, inst)
+                            hit = inst
+                        if hit is not None:
+                            self.accel = base._replace(bvh=hit)
+                            self._accel_dirty = False
+                            return
+                        # infeasible (capacity/singular) → flatten below
 
                 cached = Renderer._accel_cache.get(key)
                 if cached is None:

@@ -189,6 +189,61 @@ def _normal_matrices(transforms: jax.Array) -> jax.Array:
     return jnp.where(det[:, None, None] < 0, -cof, cof)
 
 
+def shared_mesh_layout(scene: Scene):
+    """Shared-BLAS build inputs for pt/accel/instanced.py (TLAS semantics,
+    ≙ AccelerationStructure.cpp:260-301: one BLAS per Model reused by
+    every ModelInstance).
+
+    Walks instances/meshes in EXACTLY flatten_scene's segment order and
+    dedupes by geometry index. Returns None when any geometry is animated
+    (skinned/animated paths rebuild per frame on the Morton path), else
+    `(meshes, seg_mesh, seg_tri_base, dup_ratio)`:
+
+    * meshes       one (object positions, mesh-local tris, tri_opaque)
+                   per UNIQUE geometry
+    * seg_mesh     (S,) unique-mesh index per flatten segment
+    * seg_tri_base (S,) segment's first triangle id in the flattened
+                   global numbering — `BF8Instanced.seg_tri_base` remaps
+                   instanced hits back to global ids with it, so shading
+                   (tri_mat / tri_* rows) is untouched
+    * dup_ratio    flattened tris / unique tris (the instancing win)
+    """
+    geo_to_mesh: dict = {}
+    meshes: list = []
+    seg_mesh: List[int] = []
+    seg_tri_base: List[int] = []
+    tri_base = 0
+    for inst in scene.instances:
+        model = scene.models[inst.model_index]
+        for mesh in model.meshes:
+            gi = mesh.geometry_index
+            geo = scene.geometries[gi]
+            if geo.is_animated:
+                return None
+            mi = geo_to_mesh.get(gi)
+            if mi is None:
+                mi = len(meshes)
+                geo_to_mesh[gi] = mi
+                s, n = geo.vertex_offset, geo.vertex_count
+                pos = np.asarray(scene.vertices.positions[s:s + n],
+                                 np.float32)
+                idx = scene.indices[geo.index_offset:
+                                    geo.index_offset + geo.index_count]
+                tris = np.asarray(idx, np.int64).reshape(-1, 3) \
+                    .astype(np.int32)
+                opq = np.full(len(tris), geo.is_opaque, bool)
+                meshes.append((pos, tris, opq))
+            seg_mesh.append(mi)
+            seg_tri_base.append(tri_base)
+            tri_base += meshes[mi][1].shape[0]
+    if not seg_mesh:
+        return None
+    unique_tris = sum(m[1].shape[0] for m in meshes)
+    dup_ratio = tri_base / max(unique_tris, 1)
+    return (meshes, np.asarray(seg_mesh, np.int64),
+            np.asarray(seg_tri_base, np.int32), dup_ratio)
+
+
 def flatten_scene(scene: Scene) -> DeviceScene:
     """Flatten a host Scene into device arrays.
 

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 import pytest
 
 from pt.accel.instanced import (MAX_SEGS, SEG_SHIFT, TRI_MASK, BF8Instanced,
-                                build_instanced_bf8, decode_instanced_tri)
+                                build_instanced_bf8, decode_instanced_tri,
+                                remap_global_tri)
 from pt.accel.native import sah_available
 
 pytestmark = pytest.mark.skipif(not sah_available(),
@@ -136,6 +137,70 @@ def test_fallbacks():
                               _transforms(2), block=32)
     # 8x8 grid = 98 tris → 2+ leaves per seg; must build
     assert one is not None
+
+
+def test_remap_global_tri():
+    """(segment, local) ids → flattened global ids, preserving the miss
+    sentinel and ALPHA_TRI_BIT (the production integrator contract)."""
+    from pt.accel.instanced import ALPHA_TRI_BIT
+    base = jnp.asarray([0, 100, 250], jnp.int32)       # 3 segments
+    tri = jnp.asarray([7,                              # seg 0 local 7
+                       (1 << SEG_SHIFT) | 3,           # seg 1 local 3
+                       (2 << SEG_SHIFT) | 0 | ALPHA_TRI_BIT,
+                       -1], jnp.int32)
+    out = np.asarray(remap_global_tri(tri, base))
+    np.testing.assert_array_equal(out, [7, 103, 250 | ALPHA_TRI_BIT, -1])
+
+
+def test_shared_mesh_layout_matches_flatten():
+    """seg order, tri bases and local tris must agree with flatten_scene's
+    global numbering (the remap correctness precondition)."""
+    from pt.scene.examples import make_reuse_mesh_scene
+    from pt.scene.flatten import flatten_scene, shared_mesh_layout
+
+    scene = make_reuse_mesh_scene()
+    out = shared_mesh_layout(scene)
+    assert out is not None
+    meshes, seg_mesh, seg_tri_base, dup = out
+    ds = flatten_scene(scene)
+    assert len(seg_mesh) == ds.num_segments
+    assert dup == pytest.approx(16.0)        # 16 instances of one model
+    # geometry reuse: unique meshes ≪ segments
+    assert len(meshes) * 16 == len(seg_mesh)
+
+    tri_np = np.asarray(ds.tri_idx)
+    vert_seg = np.asarray(ds.vert_seg)
+    vbase = np.zeros(len(seg_mesh), np.int64)
+    for s in range(1, len(seg_mesh)):
+        vbase[s] = vbase[s - 1] + meshes[seg_mesh[s - 1]][0].shape[0]
+    # flatten duplicates each mesh's vertices per segment in seg order
+    np.testing.assert_array_equal(
+        np.searchsorted(vbase, np.arange(len(vert_seg)), side="right") - 1,
+        vert_seg)
+    for s, mi in enumerate(seg_mesh):
+        local = meshes[mi][1]
+        t0 = seg_tri_base[s]
+        np.testing.assert_array_equal(
+            tri_np[t0:t0 + len(local)] - vbase[s], local)
+
+
+def test_shared_mesh_layout_none_for_animated():
+    from pt.scene.examples import make_reuse_mesh_scene
+    from pt.scene.flatten import shared_mesh_layout
+    scene = make_reuse_mesh_scene()
+    scene.geometries[0].is_animated = True
+    assert shared_mesh_layout(scene) is None
+
+
+def test_want_instanced_policy():
+    from pt.run.renderer import Renderer
+    want = Renderer._want_instanced
+    assert not want("auto", 16.0, 300_000, has_alpha=True)   # alpha → flat
+    assert not want("flatten", 16.0, 300_000, False)
+    assert want("shared", 1.0, 10, False)                    # forced
+    assert not want("auto", 2.0, 300_000, False)             # light reuse
+    assert not want("auto", 16.0, 50_000, False)             # small scene
+    assert want("auto", 8.0, 400_000, False)
 
 
 def test_root_bounds_cover_everything():
