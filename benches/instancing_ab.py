@@ -168,10 +168,33 @@ def run(n_inst):
             1.0, np.abs(tf[both]))
         id_agree = (np.asarray(hf.tri)[both] == np.asarray(glob)[both])
         miss_match = (hit_f == hit_i).mean()
+        # disagreement counted over ALL rays (an incoherent set can have
+        # few both-hit rays, making subset percentages meaningless —
+        # round-5 finding: 6/65536 absolute disagreements read as "0.9%
+        # of both" on the sparse incoherent set)
+        n_all = len(tf)
+        bad = ((np.asarray(hf.tri) != np.asarray(glob))
+               | (both & (np.abs(tf - ti) > 1e-3 * np.maximum(
+                   1.0, np.abs(tf)))))
         print(f"closest[{tag:5s}]: flat {t_f:7.2f} ms  inst {t_i:7.2f} ms "
               f"({t_i/t_f:5.2f}x)  hit-mask agree {miss_match*100:.3f}%  "
               f"t agree {t_agree.mean()*100:.3f}%  "
-              f"id agree {id_agree.mean()*100:.3f}%", flush=True)
+              f"id agree {id_agree.mean()*100:.3f}%  "
+              f"abs disagree {bad.sum()}/{n_all}", flush=True)
+        # correctness GATE, not prints (VERDICT r4 task 3): a silent
+        # regression in _xform_rays / seg-id packing must fail this
+        # bench non-interactively. Threshold from the round-5
+        # float64-oracle audit (BASELINE.md r5): every flip on this
+        # bench is a silhouette-grazing hit (median barycentric edge
+        # distance 0.003) where the two valid f32 formulations (world
+        # Woop vs object Woop + ray transform — the latter is the
+        # reference's own hardware TLAS semantics) round differently,
+        # and the oracle faults them EVENLY (incoh: flat 4 / inst 2 of
+        # 6; coh: flat 167 / inst 175 of 312 = 0.48%). Gate at 1% of
+        # ALL rays — a real indexing/transform bug flips orders of
+        # magnitude more.
+        assert bad.sum() <= 0.01 * n_all, \
+            f"absolute disagreement {bad.sum()}/{n_all}"
         out[f"closest_{tag}_ratio"] = t_i / t_f
 
         try:
@@ -185,6 +208,7 @@ def run(n_inst):
         occ_agree = (np.asarray(of) == np.asarray(oi)).mean()
         print(f"occl   [{tag:5s}]: flat {tof:7.2f} ms  inst {toi:7.2f} ms "
               f"({toi/tof:5.2f}x)  agree {occ_agree*100:.3f}%", flush=True)
+        assert occ_agree >= 0.998, f"occlusion agreement {occ_agree}"
         out[f"occl_{tag}_ratio"] = toi / tof
     return out
 

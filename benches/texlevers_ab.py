@@ -93,7 +93,10 @@ def main():
     results = []
 
     t0 = time.perf_counter()
-    pool = build_scene_textures(scene, paired=False, dtype=None)
+    # explicit f32 flat rows: the round-3 baseline layout (dtype=None
+    # now auto-selects bf16 and large pools auto-quad since round 5)
+    pool = build_scene_textures(scene, paired=False, quad=False,
+                                dtype=jnp.float32)
     print(f"f32 pool build {time.perf_counter()-t0:.1f}s "
           f"rows {pool.data.shape[0]}", flush=True)
     results.append(run_arm("base", scene, pool, nearest=False))
@@ -104,7 +107,8 @@ def main():
     del pool
 
     t0 = time.perf_counter()
-    pool_p = build_scene_textures(scene, paired=True, dtype=None)
+    pool_p = build_scene_textures(scene, paired=True, quad=False,
+                                  dtype=jnp.float32)
     print(f"paired pool build {time.perf_counter()-t0:.1f}s "
           f"rows {pool_p.data.shape[0]} width {pool_p.data.shape[1]}",
           flush=True)

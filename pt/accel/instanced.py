@@ -354,6 +354,90 @@ def build_instanced_bf8(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
     return None
 
 
+def build_instanced_split(meshes: Sequence[Tuple[np.ndarray, np.ndarray,
+                                                 Optional[np.ndarray]]],
+                          seg_mesh: Sequence[int],
+                          seg_transform: np.ndarray,
+                          seg_tri_base: np.ndarray,
+                          block: int = 32):
+    """Instanced acceleration for ALPHA-TESTED scenes (VERDICT r4 task 2
+    ≙ the reference composing TLAS instancing with any-hit geometry for
+    free: hardware instances carry the per-mesh opaque flags and the
+    any-hit shader just runs, AccelerationStructure.cpp:260-301 +
+    anyhit.rahit:52-64).
+
+    The integrator's any-hit emulation wants the AlphaSplit scheme
+    (pt.render.integrator): a closest/occlusion tree over the OPAQUE
+    subset plus closest trees over the (small) ALPHA subset. Opacity is
+    per-geometry (Scene.h:63-71 Geometry::IsOpaque ≙ flatten.py), so the
+    split falls on whole meshes and each subset is itself a shared-BLAS
+    instancing problem over its own (segment, mesh-leaf) pairs.
+
+    Returns `(full, (tree_o, sel_o), (tree_a, sel_a))` or None when the
+    FULL structure is infeasible (callers fall back to flatten):
+
+    * `full` — BF8Instanced over every segment (global-id remap via
+      `seg_tri_base`): stays `accel.bvh` for root-bounds clamps and the
+      debug renderer's force-opaque trace.
+    * `tree_o` / `tree_a` — BF8Instanced over only that subset's
+      segments, returning SUBSET-RANK ids (its seg_tri_base counts
+      within the subset), exactly the contract AlphaSplit's
+      `_remap_subset_tri(sel, ...)` expects; None when that subset's
+      instanced build is infeasible (e.g. a single-leaf subset) — the
+      renderer then builds a flat subset tree instead (hybrid).
+    * `sel_o` / `sel_a` — (K,) int32 GLOBAL flattened triangle ids of
+      the subset in subset-rank order (the AlphaSplit sel arrays).
+
+    Requires homogeneous per-mesh opacity (always true for
+    shared_mesh_layout inputs); returns None otherwise."""
+    seg_mesh = np.asarray(seg_mesh, np.int64)
+    seg_transform = np.asarray(seg_transform, np.float64)
+    seg_tri_base = np.asarray(seg_tri_base, np.int64)
+    n_segs = len(seg_mesh)
+    mesh_opaque = []
+    for _, tris, opq in meshes:
+        if opq is None:
+            mesh_opaque.append(True)
+            continue
+        opq = np.asarray(opq, bool)
+        if opq.any() and (~opq).any():
+            return None                    # mixed-opacity mesh: flatten
+        mesh_opaque.append(bool(opq.all()))
+    counts = np.asarray([np.asarray(m[1]).shape[0] for m in meshes],
+                        np.int64)
+
+    full = build_instanced_bf8(meshes, seg_mesh, seg_transform, block,
+                               seg_tri_base=seg_tri_base)
+    if full is None:
+        return None
+
+    def subset(keep_opaque: bool):
+        idx = [s for s in range(n_segs)
+               if mesh_opaque[int(seg_mesh[s])] == keep_opaque]
+        if not idx:
+            return None, np.zeros((0,), np.int32)
+        sub_gis: List[int] = []
+        remap: dict = {}
+        for s in idx:
+            mi = int(seg_mesh[s])
+            if mi not in remap:
+                remap[mi] = len(sub_gis)
+                sub_gis.append(mi)
+        sub_counts = counts[seg_mesh[idx]]
+        sub_base = np.concatenate([[0], np.cumsum(sub_counts)[:-1]]) \
+            .astype(np.int32)
+        sel = np.concatenate(
+            [seg_tri_base[s] + np.arange(counts[seg_mesh[s]])
+             for s in idx]).astype(np.int32)
+        tree = build_instanced_bf8(
+            [meshes[mi] for mi in sub_gis],
+            np.asarray([remap[int(seg_mesh[s])] for s in idx], np.int64),
+            seg_transform[idx], block, seg_tri_base=sub_base)
+        return tree, sel
+
+    return full, subset(True), subset(False)
+
+
 def _xform_rays(sub, a):
     """Map a (8, L) packet ray matrix into instance space: o' = A o + b,
     d' = A d; rows 3 (the homogeneous 1) and 7 (tmax) pass through —

@@ -119,6 +119,19 @@ class PathTracingSettings:
     # for reference-exact textureGrad filtering everywhere.
     tex_nearest_tail: bool = True
 
+    @classmethod
+    def reference_exact(cls, **overrides) -> "PathTracingSettings":
+        """Settings with every default-on divergence from the reference's
+        math disabled in one call (PARITY.md "Known default-on
+        divergences"): reference-rule point-light shadow segments and
+        full trilinear textureGrad filtering at every bounce. Pair with
+        `build_scene_textures(..., reference_exact=True)` for the f32
+        unpaired texture pool — together these reproduce the round-3
+        reference-exact pixel pipeline."""
+        overrides.setdefault("reverse_point_shadows", False)
+        overrides.setdefault("tex_nearest_tail", False)
+        return cls(**overrides)
+
 
 class AlphaSplit(NamedTuple):
     """Opaque/alpha scene partition for any-hit emulation (≙ the RT

@@ -53,6 +53,15 @@ class DeviceTextures:
     # HBM, OOM at Sponza scale.)
     paired: bool = dataclasses.field(metadata=dict(static=True),
                                      default=False)
+    # static: quad-duplicated rows — row i holds ALL FOUR bilinear corners
+    # [(x,y), (x+1,y), (x,y+1), (x+1,y+1)] (repeat-wrap) as one (16,) row:
+    # a full bilinear fetch is ONE row gather (trilinear = 2, nearest-mip
+    # tail = 1). The round-5 extension of the pair lever: if gathers are
+    # row-latency-bound (the §14 pair measurement says they are), halving
+    # them again buys another step win at 4x base storage (2x net under
+    # bf16 rows). Mutually exclusive with `paired`.
+    quad: bool = dataclasses.field(metadata=dict(static=True),
+                                   default=False)
 
     @property
     def count(self) -> int:
@@ -96,29 +105,61 @@ def build_mip_chain(pixels: np.ndarray) -> List[np.ndarray]:
 # every 8-bit-sourced texel (same-RNG film MSE 1.8e-4, far under the
 # 1e-3 contract). TexturePoolBuilder callers can override per pool;
 # dtype=jnp.float32 + paired=False reproduces the round-3 pool.
-POOL_PAIRED_DEFAULT = True
+#
+# Pairing is gated by POOL SIZE (VERDICT r4 task 6): the frozen-r2-pool
+# comparability arm surfaced a real small-pool cost — paired rows double
+# per-gather row bytes, a net ~4-9% LOSS where gathers were already
+# cache-cheap (9.9 MiB pool: 0.604 → 0.553 Mrays/s r2→r4) while winning
+# 21.6% on the HBM-resident-random 2.1 GiB pool. The two measured points
+# bracket the policy: pools under POOL_PAIR_MIN_TEXELS (64 MiB at f32
+# RGBA — the scale where the working set stops fitting cache and gather
+# latency, not row bytes, dominates) stay unpaired; larger pools pair.
+# ≙ TextureUploader.cpp:551-569 (the reference also sizes its texture
+# policy by measured budget, not unconditionally).
+POOL_PAIRED_DEFAULT: Optional[bool] = None       # None = by pool size
+POOL_PAIR_MIN_TEXELS = 4 * 1024 * 1024           # 64 MiB f32 RGBA
 POOL_DTYPE_DEFAULT: object = jnp.bfloat16
+# Quad rows (all four bilinear corners per row — one gather per bilinear
+# fetch): the round-5 extension of the pair lever. None = by pool size
+# (large pools quad instead of pairing; measured on-chip in
+# benches/texlevers_ab.py round 5 — see docs/perf_budget.md §14.5);
+# True/False force. Takes precedence over pairing when both resolve on.
+POOL_QUAD_DEFAULT: Optional[bool] = None
 
 
 class TexturePoolBuilder:
-    """Accumulates decoded textures into the flat pool."""
+    """Accumulates decoded textures into the flat pool.
 
-    def __init__(self, paired: Optional[bool] = None):
-        self._texels: List[np.ndarray] = []
+    `paired`: True/False force row pairing; None (default) decides at
+    build() time by pool size (see POOL_PAIR_MIN_TEXELS above). Pairing
+    never changes row counts, so the offset/size tables built during
+    add() are pairing-independent."""
+
+    def __init__(self, paired: Optional[bool] = None,
+                 quad: Optional[bool] = None):
+        self._levels: List[np.ndarray] = []      # (H, W, 4) f32 per mip
         self._offsets: List[np.ndarray] = []
         self._sizes: List[np.ndarray] = []
         self._mip_counts: List[int] = []
         self._cursor = 0
+        self._has_hdr = False
         self.paired = POOL_PAIRED_DEFAULT if paired is None else paired
+        self.quad = POOL_QUAD_DEFAULT if quad is None else quad
 
     def _push_level(self, m: np.ndarray) -> None:
         """Append one mip level's texels at the current cursor."""
-        if self.paired:
-            # pair-duplicated rows: [texel, wrap-x-neighbor] per row —
-            # row count (and the offset math) unchanged, width 8
-            m = np.concatenate([m, np.roll(m, -1, axis=1)], axis=-1)
-        self._texels.append(m.reshape(-1, m.shape[-1]))
+        self._levels.append(np.ascontiguousarray(m, np.float32))
         self._cursor += m.shape[0] * m.shape[1]
+
+    def _note_range(self, pixels: np.ndarray) -> None:
+        """Track float/HDR-sourced content: texels outside [0,1] lose
+        absolute precision under bf16 rows, and the reference keeps
+        RGBAF32-sourced textures in f32 storage (TextureUploader::
+        GetImageFormat maps RGBAF32 → R32G32B32A32Sfloat) — such pools
+        default to f32 rows (see build())."""
+        if not self._has_hdr and pixels.size:
+            if float(pixels[..., :3].max(initial=0.0)) > 1.0 + 1e-3:
+                self._has_hdr = True
 
     def add(self, pixels: np.ndarray, srgb: bool = False,
             generate_mips: bool = True) -> int:
@@ -139,6 +180,7 @@ class TexturePoolBuilder:
         if srgb:
             pixels = np.concatenate([srgb_to_linear(pixels[..., :3]),
                                      pixels[..., 3:]], -1)
+        self._note_range(pixels)
         mips = build_mip_chain(pixels) if generate_mips else [pixels]
         offsets = np.zeros(MAX_MIPS, np.int32)
         sizes = np.zeros((MAX_MIPS, 2), np.int32)
@@ -168,6 +210,7 @@ class TexturePoolBuilder:
             if srgb:
                 m = np.concatenate([srgb_to_linear(m[..., :3]), m[..., 3:]],
                                    -1)
+            self._note_range(m)
             chain.append(m)
         while (len(chain) < MAX_MIPS
                and (chain[-1].shape[0] > 1 or chain[-1].shape[1] > 1)):
@@ -187,13 +230,43 @@ class TexturePoolBuilder:
         return len(self._mip_counts) - 1
 
     def build(self, dtype=None) -> DeviceTextures:
-        """dtype None → POOL_DTYPE_DEFAULT → float32. bfloat16 rows
-        halve the pool footprint and bytes/gather (perf_budget §13
-        lever 3); texels upcast to f32 after the gather, so only the
-        stored values round (~2^-9 rel for 8-bit-sourced texels)."""
+        """dtype None → POOL_DTYPE_DEFAULT (f32 instead when any added
+        texture carried HDR-range texels — see _note_range) → float32.
+        bfloat16 rows halve the pool footprint and bytes/gather
+        (perf_budget §13 lever 3); texels upcast to f32 after the
+        gather, so only the stored values round (~2^-9 rel for
+        8-bit-sourced texels). Pairing left unforced resolves here by
+        pool size (POOL_PAIR_MIN_TEXELS)."""
         sizes = np.stack(self._sizes)
-        dtype = dtype if dtype is not None else POOL_DTYPE_DEFAULT
-        data = jnp.asarray(np.concatenate(self._texels, axis=0))
+        if dtype is None:
+            dtype = (jnp.float32 if self._has_hdr
+                     and POOL_DTYPE_DEFAULT == jnp.bfloat16
+                     else POOL_DTYPE_DEFAULT)
+        big = self._cursor >= POOL_PAIR_MIN_TEXELS
+        quad = big if self.quad is None else self.quad
+        paired = ((big and not quad)
+                  if self.paired is None else self.paired)
+        if quad:
+            paired = False                # mutually exclusive layouts
+            # quad-duplicated rows: all four wrap-neighbor bilinear
+            # corners per row — row count (and the offset math)
+            # unchanged, width 16
+            def quad_rows(m):
+                rx = np.roll(m, -1, axis=1)
+                ry = np.roll(m, -1, axis=0)
+                rxy = np.roll(rx, -1, axis=0)
+                return np.concatenate([m, rx, ry, rxy],
+                                      axis=-1).reshape(-1, 16)
+            texels = [quad_rows(m) for m in self._levels]
+        elif paired:
+            # pair-duplicated rows: [texel, wrap-x-neighbor] per row —
+            # row count (and the offset math) unchanged, width 8
+            texels = [np.concatenate([m, np.roll(m, -1, axis=1)],
+                                     axis=-1).reshape(-1, 8)
+                      for m in self._levels]
+        else:
+            texels = [m.reshape(-1, 4) for m in self._levels]
+        data = jnp.asarray(np.concatenate(texels, axis=0))
         if dtype is not None:
             data = data.astype(dtype)
         return DeviceTextures(
@@ -202,7 +275,8 @@ class TexturePoolBuilder:
             sizes=jnp.asarray(sizes),
             mip_counts=jnp.asarray(np.asarray(self._mip_counts, np.int32)),
             all_constant=bool((sizes[:, 0] == 1).all()),
-            paired=self.paired,
+            paired=paired,
+            quad=quad,
         )
 
 
@@ -246,7 +320,17 @@ def _bilinear_at_level(tex: DeviceTextures, tex_idx, uv, level):
     wi = size[..., 0]
     hi = size[..., 1]
 
-    if tex.paired:
+    if tex.quad:
+        # quad-duplicated rows: ONE (16,) row gather returns all four
+        # bilinear corners (wrap-neighbors baked in at build)
+        x0i = jnp.mod(x0.astype(jnp.int32), wi)
+        y0i = jnp.mod(y0.astype(jnp.int32), hi)
+        rows = tex.data[off + y0i * wi + x0i]               # (N, 16)
+        c00 = rows[..., 0:4].astype(jnp.float32)
+        c10 = rows[..., 4:8].astype(jnp.float32)
+        c01 = rows[..., 8:12].astype(jnp.float32)
+        c11 = rows[..., 12:16].astype(jnp.float32)
+    elif tex.paired:
         # pair-duplicated rows: one (8,) row gather returns the (x0, x0+1)
         # corner pair — both bilinear x-corners per y in a single gather
         x0i = jnp.mod(x0.astype(jnp.int32), wi)

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pt.core.compilewatch import stage_call as _guard
 from pt.core.stats import Stats, Timer
 from pt.post.pipeline import PostProcessSettings, postprocess
 from pt.render.integrator import (Accel, BounceCarry, PathTracingSettings,
@@ -554,18 +555,93 @@ class Renderer:
                         has_alpha: bool) -> bool:
         """Shared-BLAS selection policy. The instanced kernels trace
         1.03-1.14x the flat kernels on incoherent closest hits
-        (benches/instancing_ab.py), so "auto" only switches when the
-        flatten path's duplication cost dominates: heavy reuse (>=4x)
-        AND enough flattened triangles that the duplicated host SAH
-        build + Woop pages are multi-second / tens-of-MiB (the A/B's
-        64-instance point: build 5.6 s -> 0.8 s, bytes 0.015x). Alpha
-        scenes stay on flatten: the opaque/alpha split trees
-        (AlphaSplit) are not instanced yet."""
-        if has_alpha or mode == "flatten":
+        (benches/instancing_ab.py, docs/perf_budget.md §8.5), so "auto"
+        only switches when the flatten path's duplication cost
+        dominates: heavy reuse (>=4x) AND enough flattened triangles
+        that the duplicated host SAH build + Woop pages are
+        multi-second / tens-of-MiB (the A/B's 64-instance point: build
+        5.6 s -> 0.8 s, bytes 0.015x). Alpha scenes instance too since
+        round 5 (the AlphaSplit subset trees are themselves instanced —
+        build_instanced_split ≙ the reference composing TLAS instancing
+        with any-hit geometry, AccelerationStructure.cpp:260-301 +
+        anyhit.rahit:52-64)."""
+        if mode == "flatten":
             return False
         if mode == "shared":
             return True
         return dup_ratio >= 4.0 and n_tris >= 200_000
+
+    #: negative-cache sentinel: a scene key whose instanced build proved
+    #: infeasible skips straight to flatten on every later rebuild
+    #: (ADVICE r4: re-attempting costs up to 4 multi-second block
+    #: attempts per accel rebuild)
+    _INFEASIBLE = "instanced-infeasible"
+
+    def _build_instanced(self, key, tri_np, opq_np, build_static, base):
+        """Shared-BLAS Accel for the current scene, or None → flatten.
+
+        Opaque scenes: one BF8Instanced with global-id remap. Alpha
+        scenes (round 5, VERDICT r4 task 2): build_instanced_split
+        returns the full tree (root bounds + debug force-opaque) plus
+        instanced opaque/alpha subset trees wired into the integrator's
+        AlphaSplit scheme; a subset whose instanced build is infeasible
+        falls back to a FLAT subset tree (hybrid — the duplicated bytes
+        of a small subset are acceptable). Results, including the
+        infeasible verdict, are LRU-cached under the scene key."""
+        ikey = (key, "instanced")
+        hit = Renderer._accel_cache.get(ikey)
+        if hit is None:
+            from pt.scene.flatten import shared_mesh_layout
+            layout = shared_mesh_layout(self.scene)
+            hit = Renderer._INFEASIBLE
+            if layout is not None:
+                meshes, seg_mesh, seg_base, _dup = layout
+                st = np.asarray(self.ds.seg_transform, np.float64)
+                if bool(self.ds.has_alpha):
+                    from pt.accel.instanced import build_instanced_split
+                    out = build_instanced_split(meshes, seg_mesh, st,
+                                                seg_base)
+                    if out is not None:
+                        full, (tree_o, sel_o), (tree_a, sel_a) = out
+                        if len(sel_o) == 0 or len(sel_a) == 0:
+                            # wholly-alpha (or wholly-opaque) content:
+                            # no split to build — the single-tree alpha
+                            # loop walks the full instanced tree
+                            hit = (full, None)
+                        else:
+                            if tree_o is None:
+                                tree_o = build_static(tri_np[sel_o],
+                                                      opq_np[sel_o])
+                            if tree_a is None:
+                                tree_a = build_static(tri_np[sel_a],
+                                                      opq_np[sel_a])
+                            # a failed subset build is only acceptable
+                            # where the brute fallback stays cheap (the
+                            # flatten path's rule)
+                            ok = ((tree_o is not None
+                                   or len(sel_o) <= 4096)
+                                  and (tree_a is not None
+                                       or len(sel_a) <= 4096))
+                            if ok:
+                                from pt.render.integrator import \
+                                    AlphaSplit
+                                split = AlphaSplit(
+                                    tree_o, jnp.asarray(tri_np[sel_o]),
+                                    jnp.asarray(sel_o),
+                                    tree_a, jnp.asarray(tri_np[sel_a]),
+                                    jnp.asarray(sel_a))
+                                hit = (full, split)
+                else:
+                    from pt.accel.instanced import build_instanced_bf8
+                    inst = build_instanced_bf8(meshes, seg_mesh, st,
+                                               seg_tri_base=seg_base)
+                    if inst is not None:
+                        hit = (inst, None)
+            Renderer._accel_cache.put(ikey, hit)
+        if hit == Renderer._INFEASIBLE:
+            return None
+        bvh, split = hit
+        return base._replace(bvh=bvh, alpha_split=split)
 
     def _ensure_accel(self) -> None:
         if not (self._accel_dirty or self.accel is None):
@@ -629,32 +705,21 @@ class Renderer:
 
                 # shared-BLAS (TLAS-semantics) arm: dedupe Woop pages
                 # across segments that share a mesh; hits come back
-                # remapped to global ids so shading is untouched
-                layout = None
-                if self.instancing != "flatten" \
-                        and not bool(self.ds.has_alpha):
-                    from pt.scene.flatten import shared_mesh_layout
-                    layout = shared_mesh_layout(self.scene)
-                if layout is not None:
-                    meshes, seg_mesh, seg_base, dup = layout
-                    if self._want_instanced(self.instancing, dup,
-                                            int(tri_np.shape[0]),
-                                            bool(self.ds.has_alpha)):
-                        ikey = (key, "instanced")
-                        hit = Renderer._accel_cache.get(ikey)
-                        if hit is None:
-                            from pt.accel.instanced import \
-                                build_instanced_bf8
-                            inst = build_instanced_bf8(
-                                meshes, seg_mesh,
-                                np.asarray(self.ds.seg_transform,
-                                           np.float64),
-                                seg_tri_base=seg_base)
-                            if inst is not None:
-                                Renderer._accel_cache.put(ikey, inst)
-                            hit = inst
-                        if hit is not None:
-                            self.accel = base._replace(bvh=hit)
+                # remapped to global ids so shading is untouched. The
+                # policy gates on COUNTS first (ADVICE r4: the full
+                # layout copies every unique geometry's buffers — don't
+                # pay that on scenes the policy rejects).
+                if self.instancing != "flatten":
+                    from pt.scene.flatten import shared_dup_ratio
+                    dup_info = shared_dup_ratio(self.scene)
+                    if dup_info is not None and self._want_instanced(
+                            self.instancing, dup_info[0],
+                            int(tri_np.shape[0]),
+                            bool(self.ds.has_alpha)):
+                        inst_accel = self._build_instanced(
+                            key, tri_np, opq_np, build_static, base)
+                        if inst_accel is not None:
+                            self.accel = inst_accel
                             self._accel_dirty = False
                             return
                         # infeasible (capacity/singular) → flatten below
@@ -799,11 +864,11 @@ class Renderer:
             px, py, rep = self._group_arrays(g)
             frames = jnp.uint32(self.total_samples + rep0) + rep
         state = _init_state_jit(px, py, self.width, frames)
-        carry = _raygen_jit(px, py, self.width, self.height, inv_view,
-                            inv_proj, state, jset)
+        carry = _guard(_raygen_jit, px, py, self.width, self.height,
+                       inv_view, inv_proj, state, jset, what="raygen jit")
         # bounce 0 (never compacted: all lanes are live)
-        carry, _ = _bounce_jit(self.ds, self.tex, self.accel, carry,
-                               jset, False, self._rr_div(0))
+        carry, _ = _guard(_bounce_jit, self.ds, self.tex, self.accel, carry,
+                          jset, False, self._rr_div(0), what="bounce jit")
         if g == 1:
             full = self._trace_tail(carry, jset, n_full,
                                     observe_ok=observe_ok)
@@ -851,9 +916,10 @@ class Renderer:
         cur_n = n_lanes
         alive_obs = [] if observe else None
         for bounce in range(1, self.settings.bounce_count):
-            carry, alive_count = _bounce_jit(self.ds, self.tex, self.accel,
-                                             carry, jset, True,
-                                             self._rr_div(bounce))
+            carry, alive_count = _guard(_bounce_jit, self.ds, self.tex,
+                                        self.accel, carry, jset, True,
+                                        self._rr_div(bounce),
+                                        what="bounce jit")
             if alive_obs is not None:
                 alive_obs.append(alive_count)
             k = (plan[bounce - 1] if plan and bounce - 1 < len(plan)
@@ -1059,9 +1125,9 @@ class Renderer:
                     state = _init_state_jit(
                         pxs, pys, self.width,
                         jnp.asarray(cf.astype(np.uint32)))
-                    carry = _raygen_jit(pxs, pys, self.width, self.height,
-                                        inv_view, inv_proj, state,
-                                        self._jit_settings())
+                    carry = _guard(_raygen_jit, pxs, pys, self.width,
+                                   self.height, inv_view, inv_proj, state,
+                                   self._jit_settings(), what="raygen jit")
                     full = carry
                     perm = None
                     cur_n = disp_n
@@ -1071,10 +1137,10 @@ class Renderer:
                     # live longer — a stale plan would truncate them
                     alive_obs = [] if (plan is None or off == 0) else None
                     for bounce in range(self.settings.bounce_count):
-                        carry, alive_count = _bounce_jit(
-                            self.ds, self.tex, self.accel, carry,
-                            self._jit_settings(), bounce > 0,
-                            self._rr_div(bounce))
+                        carry, alive_count = _guard(
+                            _bounce_jit, self.ds, self.tex, self.accel,
+                            carry, self._jit_settings(), bounce > 0,
+                            self._rr_div(bounce), what="bounce jit")
                         if alive_obs is not None:
                             alive_obs.append(alive_count)
                         kk = (plan[bounce]
@@ -1219,8 +1285,9 @@ class Renderer:
                     w_d = jax.device_put(jnp.asarray(cw_o), sh)
                     frames = jax.device_put(
                         jnp.asarray(cf_o.astype(np.uint32)), sh)
-                    carry = self._stages.raygen_adaptive(
-                        pxs, pys, inv_view, inv_proj, frames)
+                    carry = _guard(self._stages.raygen_adaptive,
+                                   pxs, pys, inv_view, inv_proj, frames,
+                                   what="sharded raygen")
                     full = carry
                     perm = None
                     cur_n = n_local
@@ -1230,9 +1297,10 @@ class Renderer:
                     for bounce in range(self.settings.bounce_count):
                         stage = (self._stages.bounce if bounce > 0
                                  else self._stages.bounce0)
-                        carry, alive_max, rays_delta = stage(
-                            self.ds, self.tex, self.accel, carry,
-                            jnp.float32(self._rr_div(bounce)))
+                        carry, alive_max, rays_delta = _guard(
+                            stage, self.ds, self.tex, self.accel, carry,
+                            jnp.float32(self._rr_div(bounce)),
+                            what="sharded bounce")
                         rt = rt + rays_delta
                         if alive_obs is not None:
                             alive_obs.append(alive_max)
@@ -1304,8 +1372,8 @@ class Renderer:
         alive_obs = []
         for s in range(samples):
             frame = jnp.uint32(self.total_samples + s)
-            carry = self._stages.raygen(self._px, self._py, inv_view,
-                                        inv_proj, frame)
+            carry = _guard(self._stages.raygen, self._px, self._py,
+                           inv_view, inv_proj, frame, what="sharded raygen")
             full = carry
             perm = None
             cur_n = n_local
@@ -1313,9 +1381,10 @@ class Renderer:
             for bounce in range(self.settings.bounce_count):
                 stage = (self._stages.bounce if bounce > 0
                          else self._stages.bounce0)
-                carry, alive_max, rays_delta = stage(
-                    self.ds, self.tex, self.accel, carry,
-                    jnp.float32(self._rr_div(bounce)))
+                carry, alive_max, rays_delta = _guard(
+                    stage, self.ds, self.tex, self.accel, carry,
+                    jnp.float32(self._rr_div(bounce)),
+                    what="sharded bounce")
                 rt = rt + rays_delta
                 if s == 0 and observe:
                     alive_obs.append(alive_max)

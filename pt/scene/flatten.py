@@ -189,6 +189,33 @@ def _normal_matrices(transforms: jax.Array) -> jax.Array:
     return jnp.where(det[:, None, None] < 0, -cof, cof)
 
 
+def shared_dup_ratio(scene: Scene):
+    """Counts-only duplication ratio (flattened tris / unique tris) for
+    the instancing policy — no vertex/index copies, so the policy check
+    costs O(instances) even on scenes it will reject (ADVICE r4: the
+    full shared_mesh_layout copied every unique geometry's buffers on
+    each accel rebuild before the policy ran). Returns
+    (dup_ratio, flattened_tri_count), or None when any instanced
+    geometry is animated (mirrors shared_mesh_layout's gate) or the
+    scene has no segments."""
+    seen = set()
+    unique = total = 0
+    for inst in scene.instances:
+        for mesh in scene.models[inst.model_index].meshes:
+            gi = mesh.geometry_index
+            geo = scene.geometries[gi]
+            if geo.is_animated:
+                return None
+            tcount = geo.index_count // 3
+            if gi not in seen:
+                seen.add(gi)
+                unique += tcount
+            total += tcount
+    if not total:
+        return None
+    return total / max(unique, 1), total
+
+
 def shared_mesh_layout(scene: Scene):
     """Shared-BLAS build inputs for pt/accel/instanced.py (TLAS semantics,
     ≙ AccelerationStructure.cpp:260-301: one BLAS per Model reused by

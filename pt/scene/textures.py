@@ -242,12 +242,20 @@ def _budget_max_dim(infos: List[TextureInfo], cfg: Config) -> int:
 def build_texture_pool(infos: List[TextureInfo],
                        cfg: Optional[Config] = None,
                        progress=None, paired: Optional[bool] = None,
-                       dtype=None) -> DeviceTextures:
+                       dtype=None, quad: Optional[bool] = None,
+                       reference_exact: bool = False) -> DeviceTextures:
     """Decode all scene textures in parallel and build the device pool.
     Slot order: defaults 0..8, then `infos` in order (matching the
-    SCENE_TEXTURE_OFFSET indexing contract). `paired`/`dtype` override
-    the pool-format defaults (pt.render.textures.POOL_*_DEFAULT)."""
+    SCENE_TEXTURE_OFFSET indexing contract). `paired`/`quad`/`dtype`
+    override the pool-format defaults (pt.render.textures.POOL_*_DEFAULT);
+    `reference_exact=True` forces the f32 flat-row pool in one flag
+    (pairs with PathTracingSettings.reference_exact())."""
     cfg = cfg or get_config()
+    if reference_exact:
+        import jax.numpy as jnp
+        paired = False if paired is None else paired
+        quad = False if quad is None else quad
+        dtype = jnp.float32 if dtype is None else dtype
     infos = [get_texture_info(i) for i in infos]
     max_dim = _budget_max_dim(infos, cfg)
 
@@ -274,7 +282,7 @@ def build_texture_pool(infos: List[TextureInfo],
         ThreadDispatch(cfg.loader_thread_count).dispatch_blocking(len(infos),
                                                                   work)
 
-    builder = TexturePoolBuilder(paired=paired)
+    builder = TexturePoolBuilder(paired=paired, quad=quad)
     add_default_textures(builder)
     for info, item in zip(infos, decoded):
         if item is None:
@@ -291,6 +299,8 @@ def build_texture_pool(infos: List[TextureInfo],
 
 def build_scene_textures(scene, cfg: Optional[Config] = None,
                          progress=None, paired: Optional[bool] = None,
-                         dtype=None) -> DeviceTextures:
+                         dtype=None, quad: Optional[bool] = None,
+                         reference_exact: bool = False) -> DeviceTextures:
     return build_texture_pool(scene.textures, cfg, progress,
-                              paired=paired, dtype=dtype)
+                              paired=paired, dtype=dtype, quad=quad,
+                              reference_exact=reference_exact)

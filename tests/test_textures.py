@@ -145,9 +145,9 @@ def test_repeat_wrap():
     np.testing.assert_allclose(out[0], out[1], atol=1e-6)
 
 
-def _rand_pool(paired=False, dtype=None, seed=0):
+def _rand_pool(paired=False, dtype=None, seed=0, quad=False):
     rng = np.random.default_rng(seed)
-    b = TexturePoolBuilder(paired=paired)
+    b = TexturePoolBuilder(paired=paired, quad=quad)
     add_default_textures(b)
     # non-square + non-pow2 shapes exercise the stride/wrap math
     for shape in [(8, 8), (4, 16), (5, 3), (1, 7)]:
@@ -224,3 +224,99 @@ def test_nearest_mip_matches_trilinear_at_integer_lod():
         near, np.asarray(sample_texture_grad(pool, idx, uv,
                                              jnp.asarray([[0.25, 0.0]]),
                                              jnp.asarray([[0.25, 0.0]]))))
+
+
+def test_pool_layout_gated_by_size(monkeypatch):
+    """VERDICT r4 task 6: row duplication is a large-pool optimization
+    (duplicated rows raise per-gather bytes — a measured ~4-9% LOSS on
+    the 9.9 MiB r2 pool, a 21.6% WIN for pairing on the 2.1 GiB pool).
+    paired/quad left None resolve by pool texel count at build() (large
+    pools take the quad layout — one gather per bilinear fetch);
+    explicit True/False always wins."""
+    from pt.render import textures as T
+
+    small = _rand_pool(paired=None, quad=None)
+    assert small.paired is False and small.quad is False   # tiny: flat
+    # shrink the threshold below this pool's size: same pool now quads
+    monkeypatch.setattr(T, "POOL_PAIR_MIN_TEXELS", 16)
+    auto = _rand_pool(paired=None, quad=None)
+    assert auto.quad is True and auto.paired is False
+    assert _rand_pool(paired=False).paired is False   # override respected
+    forced_pair = _rand_pool(paired=True)
+    assert forced_pair.paired is True and forced_pair.quad is False
+    # layouts decided at build() are still bit-exact vs flat rows
+    rng = np.random.default_rng(3)
+    idx = jnp.asarray(rng.integers(SCENE_TEXTURE_OFFSET,
+                                   SCENE_TEXTURE_OFFSET + 4, 64), jnp.int32)
+    uv = jnp.asarray(rng.random((64, 2)), jnp.float32)
+    for pool in (auto, forced_pair):
+        np.testing.assert_array_equal(
+            np.asarray(sample_texture_grad(small, idx, uv)),
+            np.asarray(sample_texture_grad(pool, idx, uv)))
+
+
+def test_quad_pool_bit_exact():
+    """The quad layout (all four wrap-neighbor corners per row) must
+    return bit-identical samples to the flat layout on every sampling
+    path — same texels, same filter weights, one gather instead of
+    four."""
+    base = _rand_pool(paired=False)
+    quadp = _rand_pool(paired=False, quad=True)
+    assert quadp.quad is True
+    assert quadp.data.shape[-1] == 16
+    rng = np.random.default_rng(11)
+    n = 256
+    idx = jnp.asarray(rng.integers(SCENE_TEXTURE_OFFSET,
+                                   SCENE_TEXTURE_OFFSET + 4, n), jnp.int32)
+    uv = jnp.asarray(rng.random((n, 2)) * 3.0 - 1.0, jnp.float32)
+    dx = jnp.asarray(rng.random((n, 2)) * 0.3, jnp.float32)
+    dy = jnp.asarray(rng.random((n, 2)) * 0.3, jnp.float32)
+    for args in [(idx, uv), (idx, uv, dx, dy)]:
+        a = np.asarray(sample_texture_grad(base, *args))
+        b = np.asarray(sample_texture_grad(quadp, *args))
+        np.testing.assert_array_equal(a, b)
+    a = np.asarray(sample_texture_grad(base, idx, uv, dx, dy,
+                                       nearest_mip=True))
+    b = np.asarray(sample_texture_grad(quadp, idx, uv, dx, dy,
+                                       nearest_mip=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_hdr_sourced_pool_keeps_f32_rows():
+    """ADVICE r4: the reference keeps RGBAF32-sourced textures in f32
+    storage (TextureUploader::GetImageFormat), so a pool holding
+    HDR-range texels must not default to bf16 rows (absolute rounding at
+    HDR magnitudes); 8-bit-sourced pools keep the bf16 default."""
+    b = TexturePoolBuilder()
+    add_default_textures(b)
+    b.add(np.full((4, 4, 4), 37.5, np.float32), generate_mips=False)
+    pool = b.build()
+    assert pool.data.dtype == jnp.float32
+    assert float(np.asarray(
+        pool.data[pool.offsets[SCENE_TEXTURE_OFFSET, 0]][0])) == 37.5
+    ldr = TexturePoolBuilder()
+    add_default_textures(ldr)
+    ldr.add(np.full((4, 4, 4), 0.5, np.float32), generate_mips=False)
+    assert ldr.build().data.dtype == jnp.bfloat16
+    # explicit dtype overrides the HDR auto-selection
+    forced = TexturePoolBuilder()
+    add_default_textures(forced)
+    forced.add(np.full((4, 4, 4), 37.5, np.float32), generate_mips=False)
+    assert forced.build(dtype=jnp.bfloat16).data.dtype == jnp.bfloat16
+
+
+def test_reference_exact_preset():
+    """ADVICE r4: one-call presets flipping every default-on divergence
+    (PARITY.md) back to reference-exact."""
+    from pt.render.integrator import PathTracingSettings
+    from pt.scene.examples import make_default_scene
+    from pt.scene.textures import build_scene_textures
+
+    s = PathTracingSettings.reference_exact(bounce_count=3)
+    assert s.tex_nearest_tail is False
+    assert s.reverse_point_shadows is False
+    assert s.bounce_count == 3
+    pool = build_scene_textures(make_default_scene(),
+                                reference_exact=True)
+    assert pool.paired is False
+    assert pool.data.dtype == jnp.float32
