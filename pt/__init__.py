@@ -40,9 +40,28 @@ import jax as _jax
 # caching successful compiles makes every later run fast and deterministic
 # (≙ the reference's on-disk SPIR-V + vk::PipelineCache, ShaderLibrary.cpp:
 # 106-120, Pipeline.cpp:349-377).
-_cache_dir = _os.environ.get("PT_COMPILE_CACHE",
-                             _os.path.join(_os.path.dirname(__file__), "..",
-                                           ".jax_cache"))
+#
+# The cache dir is scoped by a HOST-CPU fingerprint: XLA:CPU cache keys do
+# not include host machine features, so a cache written on one VM loads
+# foreign AOT code on the next ("Target machine feature +prefer-no-scatter
+# is not supported on the host machine ... could lead to SIGILL") and —
+# observed in round 5 — makes cache-hit vs freshly-compiled jits
+# bit-DIFFERENT, breaking every bit-exactness contract between separately
+# compiled stages. One subdir per CPU-feature set keeps reuse within a
+# machine and isolation across machines (≙ the reference's per-config
+# shader-cache extensions, Config.cpp:38-53).
+_cache_dir = _os.environ.get("PT_COMPILE_CACHE")
+if _cache_dir is None:
+    import hashlib as _hashlib
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+    except OSError:
+        import platform as _platform
+        _flags = _platform.processor() + _platform.machine()
+    _fp = _hashlib.md5(_flags.encode()).hexdigest()[:10]
+    _cache_dir = _os.path.join(_os.path.dirname(__file__), "..",
+                               ".jax_cache", _fp)
 try:
     _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -118,6 +118,13 @@ class PathTracingSettings:
     # MSE 3.1e-5). Primary-bounce samples keep full trilinear; set False
     # for reference-exact textureGrad filtering everywhere.
     tex_nearest_tail: bool = True
+    # Material-sorted shading (perf_budget §14 lever 4): permute lanes to
+    # material-major order around _shade_hit inside the stage jit, so
+    # consecutive lanes gather from the same textures. Film-bit-exact
+    # (pure permutation). Default off pending the on-chip A/B
+    # (benches/shade_sorted_ab.py) — §2's sort experience prices lane
+    # permutes above the locality they buy.
+    shade_sorted: bool = False
 
     @classmethod
     def reference_exact(cls, **overrides) -> "PathTracingSettings":
@@ -909,9 +916,36 @@ def bounce_once(ds: DeviceScene, tex: DeviceTextures, accel: Accel,
     sky = _skybox_emissive(ds, direction)
     radiance = radiance + jnp.where(missed[..., None], throughput * sky, 0.0)
 
-    payload = _shade_hit(ds, tex, accel, hit, origin, direction,
-                         state, alive, max_roughness, decal, diff,
-                         nearest_mip=(tail and settings.tex_nearest_tail))
+    if settings.shade_sorted:
+        # material-sorted shade (perf_budget §14 lever 4): permute lanes
+        # to material-major order INSIDE the stage jit (no §4 layout
+        # boundary), shade, inverse-permute the payload — consecutive
+        # lanes then gather from the same texture set. Film-bit-exact:
+        # pure permutation, per-lane RNG states travel with their lanes.
+        mat_key = jnp.where(alive & hit.is_hit,
+                            ds.tri_mat[jnp.maximum(hit.tri, 0)],
+                            jnp.int32(0x7FFFFFF))
+        sperm = jnp.argsort(mat_key)
+        n = origin.shape[0]
+        sinv = jnp.zeros((n,), jnp.int32).at[sperm].set(
+            jnp.arange(n, dtype=jnp.int32))
+        take = lambda a: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: x[sperm], a)
+        hit_p = type(hit)(hit.t[sperm], hit.tri[sperm], hit.u[sperm],
+                          hit.v[sperm])
+        decal_p = None if decal is None else tuple(d[sperm] for d in decal)
+        payload = _shade_hit(ds, tex, accel, hit_p, origin[sperm],
+                             direction[sperm], state[sperm], alive[sperm],
+                             max_roughness[sperm], decal_p, take(diff),
+                             nearest_mip=(tail
+                                          and settings.tex_nearest_tail))
+        payload = {k: jax.tree_util.tree_map(lambda x: x[sinv], v)
+                   for k, v in payload.items()}
+    else:
+        payload = _shade_hit(ds, tex, accel, hit, origin, direction,
+                             state, alive, max_roughness, decal, diff,
+                             nearest_mip=(tail
+                                          and settings.tex_nearest_tail))
     state = payload["state"]
     max_roughness = payload["max_roughness"]
     active = alive & hit.is_hit

@@ -309,3 +309,25 @@ def test_multihost_film_assembly(default_setup):
         film, NamedSharding(mesh, P(mesh.axis_names[0])))
     out = assemble_film(sharded, mesh)
     np.testing.assert_array_equal(out, np.asarray(film))
+
+
+def test_shade_sorted_is_pure_permutation():
+    """shade_sorted permutes lanes around _shade_hit and inverse-permutes
+    the payload — mathematically a pure permutation (per-lane RNG travels
+    with its lane). The two arms are separately compiled XLA programs, so
+    FMA contraction may differ by one ulp per op; the film must agree to
+    that level (a real permutation bug shows O(1) radiance differences)."""
+    import numpy as np
+    from pt.render.integrator import PathTracingSettings
+    from pt.run.renderer import Renderer
+    from pt.scene.examples import make_default_scene
+
+    films = []
+    for sorted_ in (False, True):
+        r = Renderer(PathTracingSettings(sample_count=2, bounce_count=3,
+                                         shade_sorted=sorted_))
+        r.set_scene(make_default_scene(), stream_textures=False)
+        r.on_resize(32, 32)
+        r.render()
+        films.append(np.asarray(r.film_mean()))
+    np.testing.assert_allclose(films[0], films[1], atol=1e-6, rtol=1e-5)
