@@ -36,11 +36,16 @@ def main():
     args = ap.parse_args()
     W = H = args.size
     scene = make_courtyard_scene()
+    # ONE shared device pool: the round-5 quad layout is ~4 GiB resident
+    # for this scene — per-renderer pool builds (the old pattern) OOM the
+    # 16 GiB chip at three live renderers
+    from pt.scene.textures import build_scene_textures
+    tex = build_scene_textures(scene)
 
     # --- 1. throughput (production pallas path) ----------------------------
     r = Renderer(PathTracingSettings(sample_count=4, bounce_count=5,
                                      backend="pallas"))
-    r.set_scene(scene, stream_textures=False)
+    r.set_scene(scene, tex=tex, stream_textures=False)
     r.on_resize(512, 512)
     r.render(1)
     r.render()
@@ -59,16 +64,18 @@ def main():
     # validates the Pallas BF8 kernels (incl. the alpha any-hit loops) on
     # real content. Brute tests every ray against all 213k triangles —
     # affordable only on a small crop.
+    del r                               # free its accel/film before arm 2
     films = {}
     for backend in ("pallas", "brute"):
         rr = Renderer(PathTracingSettings(sample_count=4, bounce_count=3,
                                           backend=backend))
-        rr.set_scene(scene, stream_textures=False)
+        rr.set_scene(scene, tex=tex, stream_textures=False)
         rr.on_resize(W, H)
         while rr.total_samples < args.spp:
             rr.render()
         films[backend] = rr.snapshot()
         print(f"{backend}: {rr.total_samples} spp accumulated", flush=True)
+        del rr
     a, b = films["pallas"], films["brute"]
     mse = float(np.mean((a - b) ** 2))
     print(f"MSE pallas-vs-brute @{args.spp}spp {W}x{H}: {mse:.3e} "
@@ -79,7 +86,7 @@ def main():
         from pt.out.saver import write_image
         g = Renderer(PathTracingSettings(sample_count=4, bounce_count=5,
                                          backend="pallas"))
-        g.set_scene(scene, stream_textures=False)
+        g.set_scene(scene, tex=tex, stream_textures=False)
         g.on_resize(512, 512)
         while g.total_samples < 256:
             g.render()
