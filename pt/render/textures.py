@@ -106,25 +106,21 @@ def build_mip_chain(pixels: np.ndarray) -> List[np.ndarray]:
 # 1e-3 contract). TexturePoolBuilder callers can override per pool;
 # dtype=jnp.float32 + paired=False reproduces the round-3 pool.
 #
-# Pairing is gated by POOL SIZE (VERDICT r4 task 6): the frozen-r2-pool
-# comparability arm surfaced a real small-pool cost — paired rows double
-# per-gather row bytes, a net ~4-9% LOSS where gathers were already
-# cache-cheap (9.9 MiB pool: 0.604 → 0.553 Mrays/s r2→r4) while winning
-# 21.6% on the HBM-resident-random 2.1 GiB pool. The two measured points
-# bracket the policy: pools under POOL_PAIR_MIN_TEXELS (64 MiB at f32
-# RGBA — the scale where the working set stops fitting cache and gather
-# latency, not row bytes, dominates) stay unpaired; larger pools pair.
-# ≙ TextureUploader.cpp:551-569 (the reference also sizes its texture
-# policy by measured budget, not unconditionally).
-POOL_PAIRED_DEFAULT: Optional[bool] = None       # None = by pool size
-POOL_PAIR_MIN_TEXELS = 4 * 1024 * 1024           # 64 MiB f32 RGBA
+# Row-layout policy (round 5, VERDICT r4 task 6 — resolved by a
+# SAME-DAY 4-arm A/B on the frozen 9.9 MiB r2 pool, which overturned
+# the round-4 cross-round inference that row duplication hurt small
+# pools): wider rows win MONOTONICALLY at every pool size measured —
+# frozen small pool: flat-f32 0.492 / flat-bf16 0.524 / pair-bf16
+# 0.553 / quad-bf16 0.576 Mrays/s; 2.1 GiB pool: pair −21.6% vs flat,
+# quad a further −9.7% (docs/perf_budget.md §14.5). The r2→r4 drift on
+# the frozen arm that motivated size gating was never the layout.
+# Default: QUAD rows (all four bilinear corners per (16,) row — one
+# gather per bilinear fetch) at every size; `paired`/flat stay as
+# explicit overrides for A/B and reference_exact.
+POOL_PAIRED_DEFAULT: Optional[bool] = None       # None = off (quad wins)
+POOL_PAIR_MIN_TEXELS = 4 * 1024 * 1024           # retained for A/B refs
 POOL_DTYPE_DEFAULT: object = jnp.bfloat16
-# Quad rows (all four bilinear corners per row — one gather per bilinear
-# fetch): the round-5 extension of the pair lever. None = by pool size
-# (large pools quad instead of pairing; measured on-chip in
-# benches/texlevers_ab.py round 5 — see docs/perf_budget.md §14.5);
-# True/False force. Takes precedence over pairing when both resolve on.
-POOL_QUAD_DEFAULT: Optional[bool] = None
+POOL_QUAD_DEFAULT: Optional[bool] = None         # None = True (always)
 
 
 class TexturePoolBuilder:
@@ -242,10 +238,8 @@ class TexturePoolBuilder:
             dtype = (jnp.float32 if self._has_hdr
                      and POOL_DTYPE_DEFAULT == jnp.bfloat16
                      else POOL_DTYPE_DEFAULT)
-        big = self._cursor >= POOL_PAIR_MIN_TEXELS
-        quad = big if self.quad is None else self.quad
-        paired = ((big and not quad)
-                  if self.paired is None else self.paired)
+        quad = True if self.quad is None else self.quad
+        paired = False if self.paired is None else self.paired
         if quad:
             paired = False                # mutually exclusive layouts
             # quad-duplicated rows: all four wrap-neighbor bilinear

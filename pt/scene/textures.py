@@ -226,7 +226,9 @@ def _budget_max_dim(infos: List[TextureInfo], cfg: Config) -> int:
     budget (≙ GetImageMemoryBudget → DetermineMaxTextureSizes,
     TextureUploader.cpp:551-569). Pool texels are RGBA f32 with mips (x4/3)."""
     max_dim = cfg.max_texture_size
-    bytes_per_texel = 16 * 4 // 3
+    # default pool format since round 5: quad rows (16 ch) x bf16 (2 B)
+    # = 32 B/texel, x4/3 for generated mips
+    bytes_per_texel = 32 * 4 // 3
     while max_dim > 64:
         total = 0
         for info in infos:

@@ -226,32 +226,27 @@ def test_nearest_mip_matches_trilinear_at_integer_lod():
                                              jnp.asarray([[0.25, 0.0]]))))
 
 
-def test_pool_layout_gated_by_size(monkeypatch):
-    """VERDICT r4 task 6: row duplication is a large-pool optimization
-    (duplicated rows raise per-gather bytes — a measured ~4-9% LOSS on
-    the 9.9 MiB r2 pool, a 21.6% WIN for pairing on the 2.1 GiB pool).
-    paired/quad left None resolve by pool texel count at build() (large
-    pools take the quad layout — one gather per bilinear fetch);
-    explicit True/False always wins."""
-    from pt.render import textures as T
-
-    small = _rand_pool(paired=None, quad=None)
-    assert small.paired is False and small.quad is False   # tiny: flat
-    # shrink the threshold below this pool's size: same pool now quads
-    monkeypatch.setattr(T, "POOL_PAIR_MIN_TEXELS", 16)
+def test_pool_layout_policy():
+    """Round-5 layout policy (VERDICT r4 task 6, resolved by a same-day
+    4-arm A/B on the frozen r2 pool): QUAD rows at every pool size —
+    wider rows measured monotonically faster (flat-f32 0.492 →
+    flat-bf16 0.524 → pair 0.553 → quad 0.576 Mrays/s on the 9.9 MiB
+    pool; docs/perf_budget.md §14.5). Explicit overrides always win,
+    and every layout samples identically."""
     auto = _rand_pool(paired=None, quad=None)
-    assert auto.quad is True and auto.paired is False
-    assert _rand_pool(paired=False).paired is False   # override respected
+    assert auto.quad is True and auto.paired is False     # quad default
+    flat = _rand_pool(paired=False, quad=False)
+    assert flat.paired is False and flat.quad is False
     forced_pair = _rand_pool(paired=True)
     assert forced_pair.paired is True and forced_pair.quad is False
-    # layouts decided at build() are still bit-exact vs flat rows
+    # layouts decided at build() are bit-exact vs flat rows
     rng = np.random.default_rng(3)
     idx = jnp.asarray(rng.integers(SCENE_TEXTURE_OFFSET,
                                    SCENE_TEXTURE_OFFSET + 4, 64), jnp.int32)
     uv = jnp.asarray(rng.random((64, 2)), jnp.float32)
     for pool in (auto, forced_pair):
         np.testing.assert_array_equal(
-            np.asarray(sample_texture_grad(small, idx, uv)),
+            np.asarray(sample_texture_grad(flat, idx, uv)),
             np.asarray(sample_texture_grad(pool, idx, uv)))
 
 
@@ -318,5 +313,5 @@ def test_reference_exact_preset():
     assert s.bounce_count == 3
     pool = build_scene_textures(make_default_scene(),
                                 reference_exact=True)
-    assert pool.paired is False
+    assert pool.paired is False and pool.quad is False
     assert pool.data.dtype == jnp.float32
