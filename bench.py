@@ -282,17 +282,22 @@ def _run(result: dict, errors: dict) -> None:
     # the other two BASELINE.json headline metrics: spp/s at 1080p on the
     # Sponza-class scene, and time-to-converged frame (MSE < 1e-3 vs deep
     # accumulation at SPP_CONVERGED samples; trajectory in BASELINE.md)
+    # steps=3 (round 5): the big-pool courtyard arms measure with ±2.5%
+    # run-to-run spread at steps=2 (BASELINE.md r5 two-run record) —
+    # one more averaged step costs ~40 s and narrows the two axes whose
+    # targets sit inside that band (spp@1080p, uniform TTC)
     w1080, h1080 = (64, 64) if TINY else (1920, 1080)
     spp_1080 = _run_arm(errors, "courtyard_spp_1080p", measure_spp_rate,
                         courtyard_scene, w1080, h1080, tex=courtyard_tex,
-                        bounces=bounces)
+                        bounces=bounces, steps=2 if TINY else 3)
     if spp_1080 is not None:
         result["courtyard_spp_per_s_1080p"] = round(spp_1080, 4)
 
     w256 = 64 if TINY else 256
     spp_256 = _run_arm(errors, "courtyard_ttc", measure_spp_rate,
                        courtyard_scene, w256, w256, spp=4,
-                       tex=courtyard_tex, bounces=bounces)
+                       tex=courtyard_tex, bounces=bounces,
+                       steps=2 if TINY else 3)
     if spp_256 is not None and spp_256 > 0:
         result["courtyard_time_to_converged_256_s"] = round(
             SPP_CONVERGED / spp_256, 1)
